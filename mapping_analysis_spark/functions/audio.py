@@ -1,0 +1,226 @@
+"""Audio channel: PCM decode + MFCC fingerprint, Arrow-vectorized.
+
+This is the graft's axis-B addition — the reference (linengier/
+mapping-analysis) matches on string attributes only; the north-star adds an
+MFCC-fingerprint cosine similarity channel over decoded PCM, fused through
+the same mean-aggregation semantics as the reference's per-property sims
+(simcomputation/MeanAggregationFunction.java:26-49: absent channel = no
+vote).
+
+Everything here is dependency-free (numpy only) so the job deploys with
+``spark-submit --py-files`` and no native libs on executors:
+
+* ``decode_pcm_py``  — pcm_s16le / pcm_s24le raw frames and RIFF/WAV
+  containers → float32 in [-1, 1]
+* ``mfcc_py``        — librosa-style MFCC: 25 ms Hann frames, 10 ms hop,
+  power FFT, mel filterbank (HTK mel), log, orthonormal DCT-II, first 13
+  coefficients, mean-pooled over frames → a 13-dim clip fingerprint
+* Spark surface: ``mfcc_fingerprint`` (mapInPandas-friendly pandas UDF) and
+  ``fingerprint_cosine`` (native array Columns — zip_with dot product)
+
+Per-row invariant (BASELINE.json input_hint): decoded PCM must match the
+generator's reference signal with SNR ≥ 30 dB; tests enforce it.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+N_MFCC = 13
+N_MELS = 26
+N_FFT = 512
+
+
+# ---------------------------------------------------------------------------
+# Decode
+# ---------------------------------------------------------------------------
+
+
+def _decode_s16le(data: bytes) -> np.ndarray:
+    return np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
+
+
+def _decode_s24le(data: bytes) -> np.ndarray:
+    usable = len(data) - (len(data) % 3)
+    raw = np.frombuffer(data[:usable], dtype=np.uint8).reshape(-1, 3)
+    # sign-extend 24-bit little-endian into int32
+    vals = (
+        raw[:, 0].astype(np.int32)
+        | (raw[:, 1].astype(np.int32) << 8)
+        | (raw[:, 2].astype(np.int32) << 16)
+    )
+    vals = np.where(vals >= 1 << 23, vals - (1 << 24), vals)
+    return vals.astype(np.float32) / float(1 << 23)
+
+
+def _decode_wav(data: bytes) -> np.ndarray:
+    """Minimal RIFF/WAVE parser: PCM (format 1), mono or first channel."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    pos = 12
+    fmt = None
+    pcm = None
+    while pos + 8 <= len(data):
+        chunk_id = data[pos : pos + 4]
+        (chunk_len,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + chunk_len]
+        if chunk_id == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif chunk_id == b"data":
+            pcm = body
+        pos += 8 + chunk_len + (chunk_len & 1)
+    if fmt is None or pcm is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, n_channels, _sr, _br, _ba, bits = fmt
+    if audio_format != 1:
+        raise ValueError(f"unsupported WAV format code {audio_format}")
+    if bits == 16:
+        samples = _decode_s16le(pcm)
+    elif bits == 24:
+        samples = _decode_s24le(pcm)
+    else:
+        raise ValueError(f"unsupported WAV bit depth {bits}")
+    if n_channels > 1:
+        samples = samples[::n_channels]
+    return samples
+
+
+def decode_pcm_py(data: bytes | None, codec: str | None) -> np.ndarray | None:
+    """Decode one clip to float32 PCM in [-1, 1]."""
+    if data is None or codec is None:
+        return None
+    codec = codec.lower()
+    if codec == "pcm_s16le":
+        return _decode_s16le(data)
+    if codec == "pcm_s24le":
+        return _decode_s24le(data)
+    if codec == "wav":
+        return _decode_wav(data)
+    # Non-PCM codecs (mp3/opus/...) need external decoders not present in
+    # this image; the Spark-side plumbing (schema, batching) is identical.
+    raise NotImplementedError(f"codec {codec!r}: no decoder in this build")
+
+
+# ---------------------------------------------------------------------------
+# MFCC
+# ---------------------------------------------------------------------------
+
+
+def _hz_to_mel(hz: np.ndarray | float) -> np.ndarray | float:
+    return 2595.0 * np.log10(1.0 + np.asarray(hz, dtype=np.float64) / 700.0)
+
+
+def _mel_to_hz(mel: np.ndarray | float) -> np.ndarray | float:
+    return 700.0 * (10.0 ** (np.asarray(mel, dtype=np.float64) / 2595.0) - 1.0)
+
+
+def _mel_filterbank(sr: int, n_fft: int, n_mels: int) -> np.ndarray:
+    fmax = sr / 2.0
+    mel_pts = np.linspace(_hz_to_mel(0.0), _hz_to_mel(fmax), n_mels + 2)
+    hz_pts = _mel_to_hz(mel_pts)
+    bins = np.floor((n_fft + 1) * hz_pts / sr).astype(int)
+    fb = np.zeros((n_mels, n_fft // 2 + 1))
+    for m in range(1, n_mels + 1):
+        left, center, right = bins[m - 1], bins[m], bins[m + 1]
+        for k in range(left, center):
+            if center != left:
+                fb[m - 1, k] = (k - left) / (center - left)
+        for k in range(center, right):
+            if right != center:
+                fb[m - 1, k] = (right - k) / (right - center)
+    return fb
+
+
+def _dct_ii_ortho(n_out: int, n_in: int) -> np.ndarray:
+    k = np.arange(n_out)[:, None]
+    n = np.arange(n_in)[None, :]
+    mat = np.cos(np.pi * k * (2 * n + 1) / (2 * n_in))
+    mat[0] *= 1.0 / np.sqrt(n_in)
+    mat[1:] *= np.sqrt(2.0 / n_in)
+    return mat
+
+
+_FB_CACHE: dict[int, np.ndarray] = {}
+_DCT = _dct_ii_ortho(N_MFCC, N_MELS)
+
+
+def mfcc_py(pcm: np.ndarray, sr: int) -> np.ndarray:
+    """Mean-pooled 13-dim MFCC fingerprint of one clip (float32)."""
+    if pcm is None or len(pcm) == 0:
+        return np.zeros(N_MFCC, dtype=np.float32)
+    frame_len = max(int(sr * 0.025), 16)
+    hop = max(int(sr * 0.010), 8)
+    if len(pcm) < frame_len:
+        pcm = np.pad(pcm, (0, frame_len - len(pcm)))
+    n_frames = 1 + (len(pcm) - frame_len) // hop
+    idx = np.arange(frame_len)[None, :] + hop * np.arange(n_frames)[:, None]
+    frames = pcm[idx] * np.hanning(frame_len)[None, :]
+    spec = np.abs(np.fft.rfft(frames, n=N_FFT, axis=1)) ** 2
+    if sr not in _FB_CACHE:
+        _FB_CACHE[sr] = _mel_filterbank(sr, N_FFT, N_MELS)
+    mel = spec @ _FB_CACHE[sr].T
+    logmel = np.log(mel + 1e-10)
+    coeffs = logmel @ _DCT.T
+    return coeffs.mean(axis=0).astype(np.float32)
+
+
+def fingerprint_py(data: bytes | None, codec: str | None, sr: int | None) -> list | None:
+    pcm = decode_pcm_py(data, codec)
+    if pcm is None or sr is None:
+        return None
+    return [float(x) for x in mfcc_py(pcm, int(sr))]
+
+
+# ---------------------------------------------------------------------------
+# Spark surface
+# ---------------------------------------------------------------------------
+
+
+@F.pandas_udf(T.ArrayType(T.FloatType()))
+def mfcc_fingerprint(data: pd.Series, codec: pd.Series, sr: pd.Series) -> pd.Series:
+    """Arrow-batched: one fingerprint per clip."""
+    out = [
+        fingerprint_py(b, c, s if pd.notna(s) else None)
+        for b, c, s in zip(data, codec, sr)
+    ]
+    return pd.Series(out)
+
+
+@F.pandas_udf(T.IntegerType())
+def decoded_sample_count(data: pd.Series, codec: pd.Series) -> pd.Series:
+    """Cheap decode validation channel (used by lineage metrics/tests)."""
+    out = []
+    for b, c in zip(data, codec):
+        try:
+            pcm = decode_pcm_py(b, c)
+            out.append(len(pcm) if pcm is not None else None)
+        except (ValueError, NotImplementedError):
+            out.append(None)
+    return pd.Series(out, dtype="Int32")
+
+
+def fingerprint_cosine(left: Column, right: Column, scale: int = 6) -> Column:
+    """Cosine similarity of two fingerprint array<float> columns — native
+    Columns (zip_with dot product + aggregate norms), no Python."""
+    dot = F.aggregate(
+        F.zip_with(left, right, lambda a, b: (a * b).cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm_l = F.sqrt(
+        F.aggregate(left, F.lit(0.0), lambda acc, x: acc + (x * x).cast("double"))
+    )
+    norm_r = F.sqrt(
+        F.aggregate(right, F.lit(0.0), lambda acc, x: acc + (x * x).cast("double"))
+    )
+    sim = F.when(
+        left.isNotNull() & right.isNotNull() & (norm_l > 0) & (norm_r > 0),
+        dot / (norm_l * norm_r),
+    )
+    return F.round(sim, scale)

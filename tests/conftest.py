@@ -1,0 +1,9 @@
+import pytest
+
+from mapping_analysis_spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("tests", cpus=4, shuffle_partitions=4)
+    yield s
