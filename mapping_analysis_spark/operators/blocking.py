@@ -1,0 +1,296 @@
+"""Blocking / candidate generation.
+
+Re-creates (behaviorally) the reference's blocking strategies
+(model/functions/blocking/BlockingStrategy.java:6-12):
+
+* STANDARD_BLOCKING — group records by blocking key, emit all i<j pairs per
+  block subject to restrictions (merge/MergeMusicTripletCreator.java:25-49).
+  Here: a block self-join, which Catalyst executes as a shuffle-hash /
+  sort-merge equi-join on the key — fully distributed, no driver work.
+* BLOCK_SPLIT — the reference's Dedoop-style pair-level load balancing
+  (blocking/blocksplit/BlockSplitTripletCreator.java:49-117). We keep the
+  *intent* (even pair distribution across reducers despite skewed block
+  sizes) with salted sub-blocking: oversized blocks are split into salted
+  sub-blocks; each pair is produced exactly once by joining every salt-cell
+  pair (triangle enumeration over cells). AQE skew-join handles residual
+  imbalance.
+* LSH_BLOCKING — trigram MinHash banding (lsh/ package, ~20 files). The
+  reference builds explicit trigram→bit dictionaries and samples bit
+  positions per hash family (structure/HashFamily.java:84-100, seeded).
+  We use the standard minhash formulation ((a*h+b) mod p, seeded) over
+  hashed trigrams — same guarantee (Jaccard-sensitive collisions),
+  deterministic under a fixed seed, and fully expressible with native
+  array Columns + explode + groupBy (no Python in the hot path).
+
+All pair outputs are canonical: src < dst (the reference's i<j enumeration,
+merge/MergeMusicTripletCreator.java:26-49).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Standard blocking
+# ---------------------------------------------------------------------------
+
+
+def block_pairs(
+    df: DataFrame,
+    key_col: str = "blocking_key",
+    id_col: str = "id",
+    restrict: Column | None = None,
+    payload_cols: list[str] | None = None,
+) -> DataFrame:
+    """All i<j pairs within each block (STANDARD_BLOCKING).
+
+    ``restrict`` is an extra pair predicate over ``l``/``r`` aliases (e.g.
+    source-overlap bitmask check, CheckRestrictionsFilterFunction.java:27-50).
+    ``payload_cols`` are carried from both sides prefixed ``src_``/``dst_``;
+    by default only ids + key. The join is an equi-join on the blocking key,
+    so Catalyst shuffles both sides once on the key and never materializes
+    cross-block pairs.
+    """
+    cols = [id_col, key_col] + (payload_cols or [])
+    left = df.select(*cols).alias("l")
+    right = df.select(*cols).alias("r")
+    cond = (F.col(f"l.{key_col}") == F.col(f"r.{key_col}")) & (
+        F.col(f"l.{id_col}") < F.col(f"r.{id_col}")
+    )
+    if restrict is not None:
+        cond = cond & restrict
+    out = left.join(right, cond, "inner")
+    select = [
+        F.col(f"l.{id_col}").alias("src"),
+        F.col(f"r.{id_col}").alias("dst"),
+        F.col(f"l.{key_col}").alias(key_col),
+    ]
+    for c in payload_cols or []:
+        select.append(F.col(f"l.{c}").alias(f"src_{c}"))
+        select.append(F.col(f"r.{c}").alias(f"dst_{c}"))
+    return out.select(*select)
+
+
+def salted_block_pairs(
+    df: DataFrame,
+    key_col: str = "blocking_key",
+    id_col: str = "id",
+    max_block_rows: int = 256,
+    restrict: Column | None = None,
+    payload_cols: list[str] | None = None,
+) -> DataFrame:
+    """STANDARD_BLOCKING with explicit skew salting (BLOCK_SPLIT intent,
+    blocking/blocksplit/ReplicateAndAssignReducerId.java:27-66).
+
+    Blocks larger than ``max_block_rows`` are split into ``s =
+    ceil(n/max_block_rows)`` salt cells by ``row_number % s``. Pairs are
+    enumerated per unordered cell pair (i<=j): the left side replicated to
+    cells (i,i..s-1) joined on (key, cell_i, cell_j) — triangle enumeration,
+    each cross-cell pair produced exactly once, intra-cell pairs via i==j.
+    This bounds any single join-partition's work to ~max_block_rows², the
+    same guarantee the reference's custom partitioner provides, but as a
+    plain shuffle join that AQE can still re-balance.
+
+    At 100 TB this is the difference between one straggler task computing a
+    hot key's n² pairs and the work spreading over s·(s+1)/2 tasks.
+    """
+    cols = [id_col, key_col] + (payload_cols or [])
+    sizes = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("_block_n"))
+    with_cell = (
+        df.select(*cols)
+        .join(F.broadcast(sizes.filter(F.col("_block_n") > max_block_rows)),
+              key_col, "left")
+        .withColumn(
+            "_n_cells",
+            F.coalesce(
+                F.ceil(F.col("_block_n") / F.lit(max_block_rows)).cast("int"),
+                F.lit(1),
+            ),
+        )
+        # deterministic cell assignment: stable hash of id, not row_number
+        # (avoids a window over the hot key — the thing we are salting away)
+        .withColumn("_cell", F.pmod(F.xxhash64(F.col(id_col)), F.col("_n_cells")).cast("int"))
+        .drop("_block_n")
+    )
+    # Triangle enumeration: the left row in cell c is replicated to every
+    # target cell j in [c, n_cells); an unordered cross-cell pair (cell a,
+    # cell b, a<b) is produced exactly once — by the left row that lives in
+    # the lower cell — regardless of id order, so src/dst are canonicalized
+    # at emit time. Intra-cell pairs (j == own cell) use l.id < r.id.
+    left = with_cell.withColumn(
+        "_j", F.explode(F.sequence(F.col("_cell"), F.col("_n_cells") - 1))
+    ).alias("l")
+    right = with_cell.alias("r")
+    cond = (
+        (F.col(f"l.{key_col}") == F.col(f"r.{key_col}"))
+        & (F.col("l._j") == F.col("r._cell"))
+        & (
+            (F.col("l._cell") != F.col("r._cell"))
+            | (F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        )
+    )
+    if restrict is not None:
+        cond = cond & restrict
+    out = left.join(right, cond, "inner")
+    fwd = F.col(f"l.{id_col}") < F.col(f"r.{id_col}")
+    select = [
+        F.when(fwd, F.col(f"l.{id_col}")).otherwise(F.col(f"r.{id_col}")).alias("src"),
+        F.when(fwd, F.col(f"r.{id_col}")).otherwise(F.col(f"l.{id_col}")).alias("dst"),
+        F.col(f"l.{key_col}").alias(key_col),
+    ]
+    for c in payload_cols or []:
+        select.append(
+            F.when(fwd, F.col(f"l.{c}")).otherwise(F.col(f"r.{c}")).alias(f"src_{c}")
+        )
+        select.append(
+            F.when(fwd, F.col(f"r.{c}")).otherwise(F.col(f"l.{c}")).alias(f"dst_{c}")
+        )
+    return out.select(*select)
+
+
+# ---------------------------------------------------------------------------
+# MinHash-band LSH blocking
+# ---------------------------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+
+
+def minhash_signature(
+    trigram_col: Column, num_hashes: int, seed: int = 42
+) -> Column:
+    """Array of ``num_hashes`` minhash values over an array<string> column.
+
+    Universal hashing ((a*x + b) mod p) over xxhash64 of each trigram; a/b
+    derived deterministically from ``seed`` JVM-side, mirroring the
+    reference's seeded position sampling (HashFamily.java:84-100) so two
+    runs (and N vs 4N parallelism) block identically.
+    """
+    import random
+
+    rnd = random.Random(seed)
+    coeffs = [
+        (rnd.randrange(1, _MERSENNE), rnd.randrange(0, _MERSENNE))
+        for _ in range(num_hashes)
+    ]
+    hashes = []
+    for a, b in coeffs:
+        hashes.append(
+            F.array_min(
+                F.transform(
+                    trigram_col,
+                    lambda t: F.pmod(
+                        (F.abs(F.xxhash64(t)) % _MERSENNE) * a + b, F.lit(_MERSENNE)
+                    ),
+                )
+            )
+        )
+    return F.array(*hashes)
+
+
+def lsh_band_keys(
+    sig_col: Column, bands: int, rows_per_band: int
+) -> Column:
+    """Band keys: hash of each contiguous ``rows_per_band`` slice of the
+    signature, tagged with the band index (BloomFilterLshBlocker.java:73-100
+    keys blocks by (familyId, projected bits))."""
+    keys = []
+    for b in range(bands):
+        sl = F.slice(sig_col, b * rows_per_band + 1, rows_per_band)
+        keys.append(
+            F.concat_ws(
+                "|", F.lit(str(b)), F.hash(F.concat_ws(",", F.transform(sl, lambda x: x.cast("string")))).cast("string")
+            )
+        )
+    return F.array(*keys)
+
+
+def lsh_pairs(
+    df: DataFrame,
+    trigram_col: str = "trigram_set",
+    id_col: str = "id",
+    bands: int = 15,
+    rows_per_band: int = 2,
+    seed: int = 42,
+    restrict: Column | None = None,
+) -> DataFrame:
+    """LSH_BLOCKING (lsh/utils/LshComputation.java:30-75): signature →
+    band keys → explode → per-band-key self-join i<j → distinct pairs.
+
+    Default 15 bands mirrors the reference's 15 hash families
+    (LshCandidateCreator.java:23-29). Returns canonical (src, dst).
+    """
+    sig = df.select(
+        F.col(id_col),
+        minhash_signature(F.col(trigram_col), bands * rows_per_band, seed).alias("_sig"),
+    )
+    banded = sig.select(
+        id_col, F.explode(lsh_band_keys(F.col("_sig"), bands, rows_per_band)).alias("_band")
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cond = (F.col("l._band") == F.col("r._band")) & (
+        F.col(f"l.{id_col}") < F.col(f"r.{id_col}")
+    )
+    if restrict is not None:
+        cond = cond & restrict
+    return (
+        left.join(right, cond, "inner")
+        .select(
+            F.col(f"l.{id_col}").alias("src"),
+            F.col(f"r.{id_col}").alias("dst"),
+        )
+        .dropDuplicates(["src", "dst"])
+    )
+
+
+# ---------------------------------------------------------------------------
+# IDF blocking (tfidf/IdfBlockingOperation.java:53-141)
+# ---------------------------------------------------------------------------
+
+
+def idf_support_pairs(
+    df: DataFrame,
+    text_col: str = "transcript_norm",
+    id_col: str = "id",
+    top_tokens: int = 4,
+    support: int = 2,
+) -> DataFrame:
+    """Pairs sharing ≥ ``support`` high-IDF (rare) tokens.
+
+    Re-creates IdfBlockingOperation.java:53-112: per-record top-idf tokens
+    (HighIDFValueFlatMapper), pair per shared token, keep pairs with
+    support ≥ 2 (SupportFilterFunction + sum). The reference then runs
+    connected components over these support edges to form blocks
+    (IdfBlockingOperation.java:114-141) — compose with
+    ``operators.graph.connected_components`` for that.
+    """
+    words = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), r"\s+")).alias("word")
+    ).filter(F.length("word") > 1)
+    n_docs = df.count()
+    doc_freq = words.groupBy("word").agg(
+        F.countDistinct(id_col).alias("df_count")
+    )
+    idf = doc_freq.withColumn("idf", F.log10(F.lit(float(n_docs)) / F.col("df_count")))
+    word_idf = words.join(F.broadcast(idf), "word")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.desc("idf"), F.asc("word"))
+    top = (
+        word_idf.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= top_tokens)
+        .select(id_col, "word")
+    )
+    l, r = top.alias("l"), top.alias("r")
+    pairs = l.join(
+        r,
+        (F.col("l.word") == F.col("r.word"))
+        & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+    ).select(F.col(f"l.{id_col}").alias("src"), F.col(f"r.{id_col}").alias("dst"))
+    return (
+        pairs.groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= support)
+        .select("src", "dst")
+    )

@@ -1,0 +1,161 @@
+"""Incremental match-selection operators (the streaming seam).
+
+Behavioral re-creations of the reference's incremental clustering selection
+strategies (model/functions/incremental/ + clusterstrategies/):
+
+* ``max_both_selection``  — MaxBothSelection.java:27-82: a pair survives iff
+  it is the argmax(sim) of BOTH its src and its dst; ties broken by min
+  counterpart id. Two window ranks, fully distributed.
+* ``hungarian_assignment`` — HungarianAlgorithmReduceFunction.java:27-181:
+  per block, optimal 1:1 assignment minimizing (1 − sim). The reference
+  bundles a standard O(n³) Kuhn–Munkres (util/HungarianAlgorithm.java);
+  we run an independent pure-python implementation per block inside
+  ``applyInPandas`` (blocks are small — ≤ #sources entities per side).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def max_both_selection(pairs: DataFrame, sim_col: str = "agg_sim") -> DataFrame:
+    """Reciprocal-best selection (MaxBothSelection.java:27-82).
+
+    Keep a pair iff it is the argmax(sim) over ALL partners of BOTH its
+    endpoints; ties by min partner id. Pairs are canonical (src < dst), so
+    a node's partners appear on both sides — the selection is computed on
+    the node-centric view (explode both directions, one window per node),
+    then both endpoints' best-partner choices must agree. Guarantees each
+    node occurs in at most one surviving pair (a matching).
+    """
+    node_view = pairs.select(
+        F.col("src").alias("node"), F.col("dst").alias("partner"), F.col(sim_col)
+    ).unionByName(
+        pairs.select(
+            F.col("dst").alias("node"), F.col("src").alias("partner"), F.col(sim_col)
+        )
+    )
+    w = Window.partitionBy("node").orderBy(F.desc(sim_col), F.asc("partner"))
+    best = (
+        node_view.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("node", "partner")
+    )
+    fwd = best.withColumnRenamed("node", "src").withColumnRenamed("partner", "dst")
+    bwd = best.withColumnRenamed("node", "dst").withColumnRenamed("partner", "src")
+    return pairs.join(fwd, ["src", "dst"], "left_semi").join(
+        bwd, ["src", "dst"], "left_semi"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hungarian (Kuhn–Munkres) — pure python, run per block via applyInPandas
+# ---------------------------------------------------------------------------
+
+
+def _hungarian(cost: np.ndarray) -> list[tuple[int, int]]:
+    """O(n³) Kuhn–Munkres on a rectangular cost matrix (rows ≤ cols after
+    padding); returns (row, col) assignments. Independent implementation of
+    the classical potentials+augmenting-path formulation (Jonker-style),
+    not derived from the reference's util/HungarianAlgorithm.java."""
+    n_rows, n_cols = cost.shape
+    n = max(n_rows, n_cols)
+    # pad square with zeros (padded cells = non-assignments)
+    c = np.zeros((n, n))
+    c[:n_rows, :n_cols] = cost
+    INF = float("inf")
+    u = [0.0] * (n + 1)
+    v = [0.0] * (n + 1)
+    p = [0] * (n + 1)  # p[j] = row assigned to column j (1-based)
+    way = [0] * (n + 1)
+    for i in range(1, n + 1):
+        p[0] = i
+        j0 = 0
+        minv = [INF] * (n + 1)
+        used = [False] * (n + 1)
+        while True:
+            used[j0] = True
+            i0 = p[j0]
+            delta = INF
+            j1 = -1
+            for j in range(1, n + 1):
+                if not used[j]:
+                    cur = c[i0 - 1][j - 1] - u[i0] - v[j]
+                    if cur < minv[j]:
+                        minv[j] = cur
+                        way[j] = j0
+                    if minv[j] < delta:
+                        delta = minv[j]
+                        j1 = j
+            for j in range(n + 1):
+                if used[j]:
+                    u[p[j]] += delta
+                    v[j] -= delta
+                else:
+                    minv[j] -= delta
+            j0 = j1
+            if p[j0] == 0:
+                break
+        while j0:
+            j1 = way[j0]
+            p[j0] = p[j1]
+            j0 = j1
+    out = []
+    for j in range(1, n + 1):
+        if p[j] != 0 and p[j] <= n_rows and j <= n_cols:
+            out.append((p[j] - 1, j - 1))
+    return out
+
+
+def hungarian_match_block(pdf: pd.DataFrame, min_sim: float) -> pd.DataFrame:
+    """One block's optimal assignment: rows = distinct src, cols = distinct
+    dst, cost = 1 − sim (missing pairs = cost 1 + ε so they never win over
+    a real pair); assignments below ``min_sim`` are discarded
+    (HungarianAlgorithmReduceFunction.java:27-181 keeps only matched pairs
+    above threshold)."""
+    srcs = sorted(pdf["src"].unique())
+    dsts = sorted(pdf["dst"].unique())
+    si = {s: i for i, s in enumerate(srcs)}
+    di = {d: i for i, d in enumerate(dsts)}
+    cost = np.full((len(srcs), len(dsts)), 1.5)
+    sim_lookup: dict[tuple[int, int], float] = {}
+    for row in pdf.itertuples(index=False):
+        cost[si[row.src], di[row.dst]] = 1.0 - row.agg_sim
+        sim_lookup[(si[row.src], di[row.dst])] = row.agg_sim
+    out = []
+    for r, c_ in _hungarian(cost):
+        sim = sim_lookup.get((r, c_))
+        if sim is not None and sim >= min_sim:
+            out.append({"src": srcs[r], "dst": dsts[c_], "agg_sim": sim})
+    return pd.DataFrame(out, columns=["src", "dst", "agg_sim"])
+
+
+def hungarian_selection(
+    pairs: DataFrame,
+    block_col: str = "blocking_key",
+    sim_col: str = "agg_sim",
+    min_sim: float = 0.0,
+) -> DataFrame:
+    """Per-block optimal 1:1 assignment via grouped-map pandas.
+
+    Each blocking-key group is shipped to one Arrow batch; blocks are tiny
+    (bounded by #sources per entity side) so the O(n³) local solve is
+    negligible next to the shuffle that groups the pairs.
+    """
+    schema = T.StructType(
+        [
+            T.StructField("src", pairs.schema["src"].dataType, False),
+            T.StructField("dst", pairs.schema["dst"].dataType, False),
+            T.StructField("agg_sim", T.DoubleType(), True),
+        ]
+    )
+    prepared = pairs.select("src", "dst", F.col(sim_col).alias("agg_sim"), block_col)
+
+    def solve(pdf: pd.DataFrame) -> pd.DataFrame:
+        return hungarian_match_block(pdf, min_sim)
+
+    return prepared.groupBy(block_col).applyInPandas(solve, schema=schema)
