@@ -153,7 +153,9 @@ def salted_block_pairs(
 # MinHash-band LSH blocking
 # ---------------------------------------------------------------------------
 
-_MERSENNE = (1 << 61) - 1
+# 2^31-1: products of two residues stay < 2^62, inside a long even with
+# ANSI overflow checks on (Spark 4 default)
+_MERSENNE = (1 << 31) - 1
 
 
 def minhash_signature(

@@ -1,0 +1,306 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+These generalize the engine's entity-resolution core (blocking → pair sim →
+cluster) to document dedup at corpus scale — the standard toolkit for
+100 TB text pipelines:
+
+* ``exact_dedup``          — hash-groupBy on normalized text; keep min id.
+* ``minhash_lsh_dedup``    — shingle → seeded MinHash → band-bucket join →
+  verified Jaccard ≥ threshold → connected components → keep min id per
+  component. The LSH machinery is shared with the ER engine
+  (operators/blocking.py: same seeded signature, deterministic across
+  parallelism levels).
+* ``simhash_dedup``        — 64-bit SimHash over token hashes; Hamming-
+  distance candidates via band keys (4×16-bit chunks: any duplicate within
+  Hamming ≤ 3 shares at least one chunk — pigeonhole).
+* ``ngram_jaccard_pairs``  — word n-gram Jaccard over blocked pairs.
+* ``embedding_near_dup``   — cosine ≥ threshold over an embedding column
+  (native zip_with dot product; LSH-bucketed variant for scale in
+  operators/similarity_search.py).
+
+All candidate generation is equi-join-on-key (shuffle once, no cross
+product); all verification is native Columns; results are deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.similarity import cosine_trigram_from_sets  # noqa: F401 (API surface)
+from .blocking import minhash_signature, lsh_band_keys
+from .graph import connected_components
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical text form for exact dedup: lowercase, collapse whitespace,
+    trim (deliberately lighter than ``simplify`` — punctuation is content
+    for exact dedup)."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one row (min id) per distinct normalized text — the hash-groupBy
+    exact pass every pipeline runs first. Aggregates only (hash, id): the
+    full rows are joined back by key, so wide payloads never shuffle."""
+    keyed = df.select(
+        F.col(id_col), F.xxhash64(normalize_text(F.col(text_col))).alias("_h")
+    )
+    keep = keyed.groupBy("_h").agg(F.min(id_col).alias(id_col)).drop("_h")
+    return df.join(keep, id_col, "left_semi")
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Word n-gram shingle set of lowercased text, as array<string>."""
+    words = F.filter(F.split(F.lower(col), r"\s+"), lambda w: w != "")
+    cnt = F.size(words)
+    idx = F.when(cnt >= n, F.sequence(F.lit(1), cnt - (n - 1))).otherwise(
+        F.when(cnt > 0, F.array(F.lit(1))).otherwise(F.array().cast("array<int>"))
+    )
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        )
+    )
+
+
+def jaccard_from_sets(left: Column, right: Column) -> Column:
+    inter = F.size(F.array_intersect(left, right))
+    union = F.size(left) + F.size(right) - inter
+    return F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(1.0))
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate pairs from MinHash banding over word shingles.
+
+    (src, dst, jaccard) with src < dst; jaccard computed exactly on the
+    shingle sets of surviving candidates (the verify step — LSH only
+    prunes). One explode + one equi-self-join on the band key."""
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        word_shingles(F.col(text_col), shingle_n).alias("_sh"),
+    ).filter(F.size("_sh") > 0)
+    sig = sh.select(
+        "_id",
+        "_sh",
+        minhash_signature(F.col("_sh"), bands * rows_per_band, seed).alias("_sig"),
+    )
+    banded = sig.select(
+        "_id", "_sh", F.explode(lsh_band_keys(F.col("_sig"), bands, rows_per_band)).alias("_band")
+    )
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l._band") == F.col("r._band"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("src"),
+            F.col("r._id").alias("dst"),
+            F.col("l._sh").alias("_sh_l"),
+            F.col("r._sh").alias("_sh_r"),
+        )
+        .dropDuplicates(["src", "dst"])
+    )
+    return cand.select(
+        "src", "dst", jaccard_from_sets(F.col("_sh_l"), F.col("_sh_r")).alias("jaccard")
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup removal: LSH candidates → Jaccard ≥ threshold → connected
+    components → keep the min id per component."""
+    dup_edges = minhash_lsh_candidates(
+        df, text_col, id_col, shingle_n, bands, rows_per_band, seed
+    ).filter(F.col("jaccard") >= threshold)
+    cc = connected_components(dup_edges.select("src", "dst"), id_col="id", cc_col="cc")
+    losers = cc.filter(F.col("id") != F.col("cc")).select(F.col("id").alias(id_col))
+    return df.join(losers, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash64(col: Column) -> Column:
+    """64-bit SimHash over whitespace tokens — per-bit majority vote of
+    token xxhash64 values, fully native (no Python).
+
+    One pass over the token array: a vector of 64 vote counters is folded
+    (zip_with inside aggregate), then votes > 0 select the bit masks and a
+    final OR-fold assembles the fingerprint. Single projection, stays in
+    codegen, partial-aggregation-friendly upstream.
+    """
+    tokens = F.filter(F.split(F.lower(col), r"\s+"), lambda w: w != "")
+    hashes = F.transform(tokens, lambda w: F.xxhash64(w))
+    masks = F.array(
+        *[F.shiftleft(F.lit(1).cast("long"), b) for b in range(64)]
+    )
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, h: F.zip_with(
+            acc,
+            masks,
+            lambda a, m: a + F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1),
+        ),
+    )
+    bits = F.zip_with(
+        votes, masks, lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long"))
+    )
+    return F.aggregate(
+        bits, F.lit(0).cast("long"), lambda acc, x: acc.bitwiseOR(x)
+    )
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """Near-dup candidates within Hamming ≤ max_hamming via chunk banding:
+    split the 64-bit simhash into ``chunks`` pieces; any pair within
+    Hamming ≤ chunks−1 shares ≥1 identical chunk (pigeonhole). Returns
+    (src, dst, hamming) verified exactly."""
+    width = 64 // chunks
+    sh = df.select(
+        F.col(id_col).alias("_id"), simhash64(F.col(text_col)).alias("_sh")
+    )
+    parts = []
+    for i in range(chunks):
+        chunk = F.shiftrightunsigned(F.col("_sh"), i * width).bitwiseAND(
+            F.lit((1 << width) - 1)
+        )
+        parts.append(
+            sh.select(
+                "_id", "_sh", F.concat_ws(":", F.lit(str(i)), chunk.cast("string")).alias("_band")
+            )
+        )
+    banded = parts[0]
+    for p in parts[1:]:
+        banded = banded.unionByName(p)
+    l, r = banded.alias("l"), banded.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l._band") == F.col("r._band")) & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("src"),
+            F.col("r._id").alias("dst"),
+            hamming64(F.col("l._sh"), F.col("r._sh")).alias("hamming"),
+        )
+        .dropDuplicates(["src", "dst"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard + embedding near-dup
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    key_col: str | None = None,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Word n-gram Jaccard over blocked pairs. ``key_col`` defaults to a
+    cheap prefix block (first 8 chars of normalized text) — swap in any
+    blocking column. Returns (src, dst, jaccard ≥ threshold)."""
+    key = (
+        F.col(key_col)
+        if key_col
+        else F.substring(normalize_text(F.col(text_col)), 1, 8)
+    )
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        key.alias("_k"),
+        word_shingles(F.col(text_col), n).alias("_sh"),
+    )
+    l, r = base.alias("l"), base.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l._k") == F.col("r._k")) & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("src"),
+            F.col("r._id").alias("dst"),
+            jaccard_from_sets(F.col("l._sh"), F.col("r._sh")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def embedding_cosine(left: Column, right: Column) -> Column:
+    """Cosine over two array<float> embedding columns — native zip_with."""
+    dot = F.aggregate(
+        F.zip_with(left, right, lambda a, b: (a * b).cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nl = F.sqrt(F.aggregate(left, F.lit(0.0), lambda a, x: a + (x * x).cast("double")))
+    nr = F.sqrt(F.aggregate(right, F.lit(0.0), lambda a, x: a + (x * x).cast("double")))
+    return F.when((nl > 0) & (nr > 0), dot / (nl * nr))
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    bucket_col: Column | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs. Default is the exact all-pairs
+    within a hash bucket (pass ``bucket_col``); with no bucket it is the
+    full O(n²) self-join — correct at test scale, use the LSH-bucketed
+    variant (similarity_search.random_hyperplane_buckets) at corpus scale.
+    """
+    base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    if bucket_col is not None:
+        base = base.withColumn("_bk", bucket_col)
+        cond = (F.col("l._bk") == F.col("r._bk")) & (F.col("l._id") < F.col("r._id"))
+    else:
+        cond = F.col("l._id") < F.col("r._id")
+    l, r = base.alias("l"), base.alias("r")
+    return (
+        l.join(r, cond)
+        .select(
+            F.col("l._id").alias("src"),
+            F.col("r._id").alias("dst"),
+            embedding_cosine(F.col("l._v"), F.col("r._v")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -60,44 +60,53 @@ def connected_components(
         )
         .localCheckpoint(eager=True)
     )
-    edges_l = sym
+    # Iterate: (1) one-hop propagation — every node takes the min of its
+    # own and its neighbors' labels; (2) pointer jumping — l(v) := l(l(v)).
+    # The jump halves label-chain lengths each round, so convergence is
+    # O(log n) rounds even on a path graph (vs O(n) for propagation alone).
     for _i in range(max_iter):
-        # contract: rewrite each endpoint to its current label
-        lab_a = labels.select(F.col(id_col).alias("a"), F.col(cc_col).alias("la"))
-        lab_b = labels.select(F.col(id_col).alias("b"), F.col(cc_col).alias("lb"))
-        contracted = (
-            edges_l.join(lab_a, "a").join(lab_b, "b")
-            .select(F.col("la").alias("a"), F.col("lb").alias("b"))
-            .filter(F.col("a") != F.col("b"))
-        )
-        sym2 = (
-            contracted.unionByName(
-                contracted.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        nbr = (
+            sym.join(
+                labels.select(
+                    F.col(id_col).alias("b"), F.col(cc_col).alias("_lb")
+                ),
+                "b",
             )
-            .dropDuplicates(["a", "b"])
-            .localCheckpoint(eager=True)
+            .groupBy("a")
+            .agg(F.min("_lb").alias("_nbr_min"))
         )
-        if sym2.isEmpty():
-            break
-        # label graph: every label adopts min neighbor label
-        new_lab = (
-            sym2.groupBy("a")
-            .agg(F.min("b").alias("nbr_min"))
+        l1 = (
+            labels.join(nbr, labels[id_col] == nbr["a"], "left")
             .select(
-                F.col("a").alias("_old"),
-                F.least(F.col("a"), F.col("nbr_min")).alias("_new"),
+                F.col(id_col),
+                F.least(
+                    F.col(cc_col), F.coalesce(F.col("_nbr_min"), F.col(cc_col))
+                ).alias(cc_col),
             )
-            .filter(F.col("_old") != F.col("_new"))
+        )
+        l2 = (
+            l1.alias("x")
+            .join(
+                l1.select(
+                    F.col(id_col).alias("_pid"), F.col(cc_col).alias("_pcc")
+                ),
+                F.col(f"x.{cc_col}") == F.col("_pid"),
+                "left",
+            )
+            .select(
+                F.col(f"x.{id_col}").alias(id_col),
+                F.coalesce(F.col("_pcc"), F.col(f"x.{cc_col}")).alias(cc_col),
+            )
             .localCheckpoint(eager=True)
         )
-        if new_lab.isEmpty():
+        changed = (
+            l2.alias("n")
+            .join(labels.alias("o"), id_col)
+            .filter(F.col(f"n.{cc_col}") != F.col(f"o.{cc_col}"))
+        )
+        labels = l2
+        if changed.isEmpty():
             break
-        labels = (
-            labels.join(new_lab.withColumnRenamed("_old", cc_col), cc_col, "left")
-            .select(id_col, F.coalesce(F.col("_new"), F.col(cc_col)).alias(cc_col))
-            .localCheckpoint(eager=True)
-        )
-        edges_l = sym2
     if vertices is not None:
         all_v = vertices.select(id_col)
         labels = all_v.join(labels, id_col, "left").select(
