@@ -177,11 +177,24 @@ def iterative_max_both_clustering(
     n_members[, fingerprint])."""
     cfg = cfg or ClusterRoundConfig()
     clusters = _cluster_state(prepared, cfg.use_audio).localCheckpoint(eager=True)
+    # Work-set pruning: any block holding a pair ≥ min_sim always yields at
+    # least one reciprocal-best match (the block's global max pair is
+    # reciprocal-best by definition), so a block with NO match this round
+    # can never match again — its clusters leave the iteration for good.
+    # This shrinks the per-round shuffles to the still-active blocks only
+    # (the delta-iteration workset semantics of MergeExecution.java:170-181).
+    finished: list = []
     for _ in range(cfg.max_rounds):
         matches = max_both_selection(
             _round_pairs(clusters, cfg), sim_col="agg_sim"
         ).localCheckpoint(eager=True)
         if matches.isEmpty():
             break
-        clusters = _merge_matches(clusters, matches, cfg).localCheckpoint(eager=True)
+        # key set is usually small after round 1; AQE broadcasts it when so
+        active_keys = matches.select("blocking_key").distinct()
+        finished.append(clusters.join(active_keys, "blocking_key", "left_anti"))
+        working = clusters.join(active_keys, "blocking_key", "left_semi")
+        clusters = _merge_matches(working, matches, cfg).localCheckpoint(eager=True)
+    for part in finished:
+        clusters = clusters.unionByName(part)
     return clusters
