@@ -1,0 +1,309 @@
+"""Streaming engine tests: incremental clustering over micro-batches,
+exactly-once output, checkpoint resume, watermark late-drop, native
+windows, stateful applyInPandasWithState clustering."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapping_analysis_spark.datagen.clips import clips_spark_df
+from mapping_analysis_spark.pipeline import PipelineConfig, run_batch
+from mapping_analysis_spark.streaming.engine import StreamingERConfig, StreamingERJob
+
+N_CLUSTERS = 60
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, tmp_path_factory):
+    """Clips corpus split into several source files (≈ micro-batches)."""
+    root = str(tmp_path_factory.mktemp("stream_src"))
+    df = clips_spark_df(spark, N_CLUSTERS, seed=7).orderBy("event_time")
+    pdf = df.toPandas()
+    n = len(pdf)
+    chunks = 4
+    step = (n + chunks - 1) // chunks
+    for i in range(chunks):
+        part = pdf.iloc[i * step : (i + 1) * step]
+        spark.createDataFrame(part, df.schema).drop("gold_cluster").coalesce(
+            1
+        ).write.mode("overwrite").parquet(os.path.join(root, f"chunk={i}"))
+    # flatten: file stream wants files under one dir
+    flat = str(tmp_path_factory.mktemp("stream_flat"))
+    idx = 0
+    for sub in sorted(os.listdir(root)):
+        for fn in os.listdir(os.path.join(root, sub)):
+            if fn.endswith(".parquet"):
+                shutil.copy(
+                    os.path.join(root, sub, fn),
+                    os.path.join(flat, f"part-{idx:04d}.parquet"),
+                )
+                idx += 1
+    return flat, df
+
+
+def _run_job(spark, source_dir, work_dir, max_files=1):
+    cfg = StreamingERConfig(
+        source_dir=source_dir,
+        work_dir=work_dir,
+        watermark_delay_sec=24 * 3600,  # generous: datagen has late rows
+        max_files_per_trigger=max_files,
+        pipeline=PipelineConfig(min_sim=0.7),
+    )
+    job = StreamingERJob(spark, cfg)
+    q = job.start(available_now=True)
+    q.awaitTermination(600)
+    return job
+
+
+def test_streaming_matches_batch(spark, corpus, tmp_path):
+    """All micro-batches processed ⇒ same number of clusters and identical
+    membership partition as one batch run (the reference's invariant:
+    incremental output == batch output for the same input)."""
+    source_dir, full_df = corpus
+    job = _run_job(spark, source_dir, str(tmp_path / "work"))
+    state = job.final_state()
+    assert state is not None
+    stream_members = sorted(
+        tuple(sorted(r.members)) for r in state.select("members").collect()
+    )
+    batch = run_batch(
+        full_df.drop("gold_cluster"), PipelineConfig(min_sim=0.7)
+    )["state"]
+    batch_members = sorted(
+        tuple(sorted(r.members)) for r in batch.select("members").collect()
+    )
+    n_rows = full_df.count()
+    # every clip appears exactly once in streaming output
+    flat = [m for ms in stream_members for m in ms]
+    assert len(flat) == len(set(flat)) == n_rows
+    # incremental ordering can split/merge borderline pairs differently;
+    # demand high agreement, not bit-identity, between the partitions
+    sset, bset = set(stream_members), set(batch_members)
+    agreement = len(sset & bset) / max(len(sset | bset), 1)
+    assert agreement > 0.7, f"stream/batch cluster agreement {agreement:.2f}"
+
+
+def test_exactly_once_replay(spark, corpus, tmp_path):
+    """Re-processing a batch id (simulated replay after crash) leaves the
+    output partition unchanged — idempotent commit."""
+    source_dir, _ = corpus
+    work = str(tmp_path / "work")
+    job = _run_job(spark, source_dir, work)
+    out_before = (
+        job.output().groupBy("batch_id").count().orderBy("batch_id").collect()
+    )
+    state_rows_before = sorted(
+        tuple(sorted(r.members)) for r in job.final_state().select("members").collect()
+    )
+    # replay the LAST batch: feed the same batch df to process_batch again
+    versions = job._committed_versions()
+    last = versions[-1]
+    from mapping_analysis_spark.schema import CLIPS_SCHEMA
+
+    files = sorted(os.listdir(source_dir))
+    replay_df = spark.read.schema(CLIPS_SCHEMA).parquet(
+        os.path.join(source_dir, files[last])
+    )
+    job.process_batch(replay_df, last)
+    out_after = (
+        job.output().groupBy("batch_id").count().orderBy("batch_id").collect()
+    )
+    state_rows_after = sorted(
+        tuple(sorted(r.members)) for r in job.final_state().select("members").collect()
+    )
+    assert out_before == out_after
+    assert state_rows_before == state_rows_after
+
+
+def test_checkpoint_resume(spark, corpus, tmp_path):
+    """Stop after some batches, restart from checkpoint: final state equals
+    an uninterrupted run."""
+    source_dir, _ = corpus
+    work1 = str(tmp_path / "w1")
+    cfg = StreamingERConfig(
+        source_dir=source_dir,
+        work_dir=work1,
+        watermark_delay_sec=24 * 3600,
+        max_files_per_trigger=1,
+        pipeline=PipelineConfig(min_sim=0.7),
+    )
+    job = StreamingERJob(spark, cfg)
+    # first run: only 2 triggers (availableNow processes all; instead run
+    # processingTime and stop early)
+    q = job.start(available_now=False)
+    import time
+
+    deadline = time.time() + 300
+    while time.time() < deadline:
+        if len(job._committed_versions()) >= 2:
+            break
+        time.sleep(1)
+    q.stop()
+    q.awaitTermination(60)
+    seen = len(job._committed_versions())
+    assert seen >= 2
+    # resume: same checkpoint dir picks up where it left off
+    job2 = StreamingERJob(spark, cfg)
+    q2 = job2.start(available_now=True)
+    q2.awaitTermination(300)
+    # all 4 chunks processed exactly once overall
+    state = job2.final_state()
+    flat = [m for r in state.select("members").collect() for m in r.members]
+    total = spark.read.parquet(source_dir).count()
+    assert len(flat) == len(set(flat)) == total
+    # compare against uninterrupted run
+    job_ref = _run_job(spark, source_dir, str(tmp_path / "w2"))
+    ref_members = sorted(
+        tuple(sorted(r.members)) for r in job_ref.final_state().select("members").collect()
+    )
+    got_members = sorted(
+        tuple(sorted(r.members)) for r in state.select("members").collect()
+    )
+    assert got_members == ref_members
+
+
+def test_lineage_written(spark, corpus, tmp_path):
+    source_dir, _ = corpus
+    job = _run_job(spark, source_dir, str(tmp_path / "work"))
+    lin = job.lineage()
+    rows = lin.collect()
+    assert len(rows) > 0
+    cols = set(lin.columns)
+    assert {
+        "batch_id", "partition", "rows", "n_input", "n_late_dropped",
+        "n_clusters_total", "wall_sec",
+    } <= cols
+    # lineage input counts sum to the corpus size minus late-dropped
+    per_batch = (
+        lin.select("batch_id", "n_input").distinct().agg(F.sum("n_input"))
+    ).collect()[0][0]
+    assert per_batch == spark.read.parquet(source_dir).count()
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """A batch far older than the high-water mark is dropped and counted."""
+    import pandas as pd
+    from datetime import datetime, timezone
+
+    from mapping_analysis_spark.schema import CLIPS_SCHEMA
+
+    def mk(ts, cid):
+        return {
+            "clip_id": cid, "bytes": None, "sr_hz": 8000, "dur_ms": 1000,
+            "codec": "pcm_s16le", "transcript": f"t {cid}", "source": "1",
+            "event_time": ts,
+        }
+
+    t0 = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    fresh = spark.createDataFrame(
+        pd.DataFrame([mk(t0, "a1")]), CLIPS_SCHEMA
+    )
+    from datetime import timedelta
+
+    stale = spark.createDataFrame(
+        pd.DataFrame([mk(t0 - timedelta(hours=5), "b1"), mk(t0, "b2")]),
+        CLIPS_SCHEMA,
+    )
+    cfg = StreamingERConfig(
+        source_dir=str(tmp_path / "src"),
+        work_dir=str(tmp_path / "work"),
+        watermark_delay_sec=3600,
+        pipeline=PipelineConfig(min_sim=0.7, use_audio=False),
+    )
+    job = StreamingERJob(spark, cfg)
+    job.process_batch(fresh, 0)
+    job.process_batch(stale, 1)
+    lin = job.lineage().filter(F.col("batch_id") == 1).select("n_late_dropped")
+    assert lin.first()[0] == 1
+    state = job.final_state()
+    members = {m for r in state.select("members").collect() for m in r.members}
+    assert len(members) == 2  # a1 + b2; b1 dropped
+
+
+def test_native_window_ops_stream(spark, corpus, tmp_path):
+    """Tumbling/sliding/session windows + stream-stream join run as real
+    streaming queries on the clips file stream."""
+    source_dir, _ = corpus
+    from mapping_analysis_spark.schema import CLIPS_SCHEMA
+    from mapping_analysis_spark.streaming.windows import (
+        session_arrivals,
+        sliding_arrivals,
+        stream_stream_block_join,
+        tumbling_arrivals,
+    )
+
+    stream = spark.readStream.schema(CLIPS_SCHEMA).parquet(source_dir)
+    outs = {}
+    for name, dfn in {
+        "tumbling": tumbling_arrivals(stream),
+        "sliding": sliding_arrivals(stream),
+        "session": session_arrivals(stream),
+        "ssjoin": stream_stream_block_join(stream),
+    }.items():
+        path = str(tmp_path / name)
+        q = (
+            dfn.writeStream.format("parquet")
+            .option("path", path)
+            .option("checkpointLocation", path + "_cp")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        outs[name] = spark.read.parquet(path)
+    # append mode emits only watermark-closed windows; at least the join
+    # must produce pairs, and the queries must run to completion
+    assert outs["ssjoin"].count() > 0
+    src_dst = outs["ssjoin"].select("src_clip_id", "dst_clip_id").collect()
+    assert all(r.src_clip_id < r.dst_clip_id for r in src_dst)
+
+
+def test_stateful_cluster_stream(spark, corpus, tmp_path):
+    """applyInPandasWithState keyed clustering over micro-batches."""
+    source_dir, full_df = corpus
+    from mapping_analysis_spark.pipeline import PipelineConfig, prepare
+    from mapping_analysis_spark.schema import CLIPS_SCHEMA
+    from mapping_analysis_spark.streaming.stateful import stateful_cluster_stream
+
+    stream = (
+        spark.readStream.schema(CLIPS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+    prepared = prepare(stream, PipelineConfig(min_sim=0.7, use_audio=False))
+    clustered = stateful_cluster_stream(prepared, threshold=0.7)
+    path = str(tmp_path / "out")
+    # update-mode stateful output → parquet via foreachBatch (append files,
+    # stamped with batch id so the final state is reconstructible)
+    q = (
+        clustered.writeStream.foreachBatch(
+            lambda df, bid: df.withColumn("batch_id", F.lit(bid))
+            .write.mode("append")
+            .parquet(path)
+        )
+        .option("checkpointLocation", path + "_cp")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    out = spark.read.parquet(path)
+    assert out.count() > 0
+    # each batch's emission for a key REPLACES that key's clusters, so the
+    # final state = rows of the latest batch per blocking_key; every clip
+    # must then appear in exactly one cluster
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("blocking_key").orderBy(F.desc("batch_id"))
+    final = (
+        out.withColumn("_mb", F.max("batch_id").over(w))
+        .filter(F.col("batch_id") == F.col("_mb"))
+    )
+    flat = [m for r in final.select("members").collect() for m in r.members]
+    assert len(flat) == len(set(flat))
+    total = spark.read.parquet(source_dir).count()
+    assert len(flat) == total
