@@ -1,0 +1,451 @@
+"""Unit tests for the batch operator layer (SURVEY.md §2), mirroring the
+reference's operator-on-fixture test style (§5)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# graph: connected components
+# ---------------------------------------------------------------------------
+
+
+def test_cc_basic(spark):
+    from mapping_analysis_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (20, 21), (21, 22)],
+        "src long, dst long",
+    )
+    got = {(r.id, r.cc_id) for r in connected_components(edges).collect()}
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1), (5, 1),
+        (10, 10), (11, 10), (20, 20), (21, 20), (22, 20),
+    }
+
+
+def test_cc_isolated_vertices(spark):
+    from mapping_analysis_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    vertices = spark.createDataFrame([(1,), (2,), (99,)], "id long")
+    got = {(r.id, r.cc_id) for r in connected_components(edges, vertices).collect()}
+    assert got == {(1, 1), (2, 1), (99, 99)}
+
+
+def test_cc_long_chain(spark):
+    from mapping_analysis_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(500, 600)], "src long, dst long"
+    )
+    labels = {r.cc_id for r in connected_components(edges).collect()}
+    assert labels == {500}
+
+
+def test_intra_component_edges(spark):
+    from mapping_analysis_spark.operators.graph import intra_component_edges
+
+    v = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 20)], "cc_id long, id long"
+    )
+    simple = {(r.src, r.dst) for r in intra_component_edges(v, mode="simple").collect()}
+    assert simple == {(10, 11), (10, 12)}
+    allp = {(r.src, r.dst) for r in intra_component_edges(v, mode="all").collect()}
+    assert allp == {(10, 11), (10, 12), (11, 12)}
+
+
+# ---------------------------------------------------------------------------
+# blocking
+# ---------------------------------------------------------------------------
+
+
+def test_block_pairs_and_salted_equal(spark):
+    """Salted triangle enumeration must produce exactly the plain block
+    self-join pairs, for any max_block_rows."""
+    from mapping_analysis_spark.operators.blocking import (
+        block_pairs,
+        salted_block_pairs,
+    )
+
+    rows = [(i, f"k{i % 3}") for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, blocking_key string")
+    plain = {(r.src, r.dst) for r in block_pairs(df).collect()}
+    for cap in (2, 5, 1000):
+        salted = {
+            (r.src, r.dst)
+            for r in salted_block_pairs(df, max_block_rows=cap).collect()
+        }
+        assert salted == plain, f"cap={cap}"
+
+
+def test_lsh_pairs_finds_near_duplicates(spark):
+    from mapping_analysis_spark.functions.similarity import trigram_set
+    from mapping_analysis_spark.operators.blocking import lsh_pairs
+
+    rows = [
+        (1, "the beatles help album"),
+        (2, "the beatles help albun"),     # near-dup of 1
+        (3, "miles davis kind of blue"),
+        (4, "miles davis kind of blue!"),  # near-dup of 3
+        (5, "completely different thing"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string").withColumn(
+        "trigram_set", trigram_set(F.col("text"))
+    )
+    pairs = {(r.src, r.dst) for r in lsh_pairs(df, bands=8, rows_per_band=2).collect()}
+    assert (1, 2) in pairs
+    assert (3, 4) in pairs
+
+
+def test_lsh_deterministic_across_partitionings(spark):
+    from mapping_analysis_spark.functions.similarity import trigram_set
+    from mapping_analysis_spark.operators.blocking import lsh_pairs
+
+    rows = [(i, f"text number {i // 2} stable") for i in range(30)]
+    df = spark.createDataFrame(rows, "id long, text string").withColumn(
+        "trigram_set", trigram_set(F.col("text"))
+    )
+    a = {(r.src, r.dst) for r in lsh_pairs(df.repartition(2)).collect()}
+    b = {(r.src, r.dst) for r in lsh_pairs(df.repartition(13)).collect()}
+    assert a == b
+
+
+def test_idf_support_pairs(spark):
+    from mapping_analysis_spark.operators.blocking import idf_support_pairs
+
+    rows = [
+        (1, "rare1 rare2 common common2"),
+        (2, "rare1 rare2 common common2"),
+        (3, "rare3 other common common2"),
+    ]
+    df = spark.createDataFrame(rows, "id long, transcript_norm string")
+    pairs = {
+        (r.src, r.dst)
+        for r in idf_support_pairs(df, top_tokens=2, support=2).collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+# ---------------------------------------------------------------------------
+# preprocessing
+# ---------------------------------------------------------------------------
+
+
+def test_best_link_per_source(spark):
+    from mapping_analysis_spark.operators.preprocessing import best_link_per_source
+
+    vertices = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "b"), (4, "c")], "id long, source string"
+    )
+    # vertex 1 has two links into source b: keep the better one only
+    edges = spark.createDataFrame(
+        [(1, 2, 0.9), (1, 3, 0.8), (1, 4, 0.7)], "src long, dst long, agg_sim double"
+    )
+    got = {(r.src, r.dst) for r in best_link_per_source(edges, vertices).collect()}
+    assert got == {(1, 2), (1, 4)}
+
+
+def test_intra_source_and_isolated(spark):
+    from mapping_analysis_spark.operators.preprocessing import (
+        remove_intra_source_links,
+        remove_isolated_edges,
+        remove_isolated_vertices,
+    )
+
+    vertices = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "id long, source string"
+    )
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 3)], "src long, dst long"
+    )
+    kept = remove_intra_source_links(edges, vertices)
+    assert {(r.src, r.dst) for r in kept.collect()} == {(1, 3)}
+    v2 = remove_isolated_vertices(vertices, kept)
+    assert {r.id for r in v2.collect()} == {1, 3}
+    e2 = remove_isolated_edges(
+        spark.createDataFrame([(1, 3), (1, 99)], "src long, dst long"), vertices
+    )
+    assert {(r.src, r.dst) for r in e2.collect()} == {(1, 3)}
+
+
+# ---------------------------------------------------------------------------
+# incremental: max-both + Hungarian
+# ---------------------------------------------------------------------------
+
+
+def test_max_both_is_matching(spark):
+    from mapping_analysis_spark.operators.incremental import max_both_selection
+
+    pairs = spark.createDataFrame(
+        [
+            (1, 2, 0.9),   # 1-2 reciprocal best
+            (1, 3, 0.8),
+            (2, 3, 0.7),
+            (3, 4, 0.85),  # 3's best is 4 (0.85 > 0.8 as partner of 3)
+        ],
+        "src long, dst long, agg_sim double",
+    )
+    got = {(r.src, r.dst) for r in max_both_selection(pairs).collect()}
+    assert got == {(1, 2), (3, 4)}
+    # node-centric: each id at most once
+    flat = [x for p in got for x in p]
+    assert len(flat) == len(set(flat))
+
+
+def test_max_both_ties_min_id(spark):
+    from mapping_analysis_spark.operators.incremental import max_both_selection
+
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (1, 3, 0.9)], "src long, dst long, agg_sim double"
+    )
+    got = {(r.src, r.dst) for r in max_both_selection(pairs).collect()}
+    assert got == {(1, 2)}  # tie broken to min partner id
+
+
+def test_hungarian_optimality():
+    import numpy as np
+
+    from mapping_analysis_spark.operators.incremental import _hungarian
+
+    cost = np.array([[4.0, 1.0, 3.0], [2.0, 0.0, 5.0], [3.0, 2.0, 2.0]])
+    assign = dict(_hungarian(cost))
+    total = sum(cost[r, c] for r, c in assign.items())
+    assert total == 5.0  # known optimum: (0,1)+(1,0)+(2,2) = 1+2+2
+
+
+def test_hungarian_selection_spark(spark):
+    from mapping_analysis_spark.operators.incremental import hungarian_selection
+
+    pairs = spark.createDataFrame(
+        [
+            ("b1", 1, 10, 0.9),
+            ("b1", 1, 11, 0.8),
+            ("b1", 2, 10, 0.95),
+            ("b1", 2, 11, 0.1),
+        ],
+        "blocking_key string, src long, dst long, agg_sim double",
+    )
+    got = {(r.src, r.dst) for r in hungarian_selection(pairs, min_sim=0.5).collect()}
+    # optimal: 2-10 (0.95) + 1-11 (0.8) → total 1.75 beats 0.9+0.1
+    assert got == {(2, 10), (1, 11)}
+
+
+# ---------------------------------------------------------------------------
+# merge: greedy fixpoint
+# ---------------------------------------------------------------------------
+
+
+def test_greedy_merge_block_order_and_restrictions():
+    from mapping_analysis_spark.operators.merge import greedy_merge_block
+
+    pdf = pd.DataFrame(
+        [
+            {"id": 1, "members": [1], "sources_mask": 1, "label": "alpha beta",
+             "blocking_key": "alph"},
+            {"id": 2, "members": [2], "sources_mask": 2, "label": "alpha beta",
+             "blocking_key": "alph"},
+            {"id": 3, "members": [3], "sources_mask": 1, "label": "alpha beta",
+             "blocking_key": "alph"},  # same source as 1 → can't join 1
+            {"id": 4, "members": [4], "sources_mask": 4, "label": "unrelated",
+             "blocking_key": "alph"},
+        ]
+    )
+    from mapping_analysis_spark.functions.local_sim import cosine_trigram_local
+
+    out = greedy_merge_block(
+        pdf, threshold=0.8, max_sources=5,
+        sim_fn=lambda a, b: cosine_trigram_local(a["label"], b["label"]),
+    )
+    rows = {r["id"]: r for r in out.to_dict("records")}
+    # 1+2 merge first (min ids); 3 can't join (source overlap with 1)
+    assert sorted(rows) == [1, 3, 4]
+    assert rows[1]["members"] == [1, 2]
+    assert rows[1]["sources_mask"] == 3
+
+
+def test_merge_execution_spark(spark):
+    from mapping_analysis_spark.operators.merge import merge_execution
+
+    reps = spark.createDataFrame(
+        [
+            (1, [1], 1, "hello world", "hell"),
+            (2, [2], 2, "hello world", "hell"),
+            (3, [3], 4, "different thing", "hell"),
+        ],
+        "id long, members array<long>, sources_mask long, label string,"
+        " blocking_key string",
+    )
+    out = merge_execution(reps, threshold=0.8, max_sources=5)
+    rows = {r.id: r for r in out.collect()}
+    assert sorted(rows) == [1, 3]
+    assert sorted(rows[1].members) == [1, 2]
+
+
+# ---------------------------------------------------------------------------
+# simsort
+# ---------------------------------------------------------------------------
+
+
+def test_simsort_evicts_low_sim_vertex(spark):
+    from mapping_analysis_spark.operators.simsort import simsort
+
+    # triangle 1-2 strong; 3 weakly attached
+    edges = spark.createDataFrame(
+        [(1, 2, 0.9, 100), (1, 3, 0.2, 100), (2, 3, 0.3, 100)],
+        "src long, dst long, agg_sim double, hash_cc long",
+    )
+    out = {r.id: r.hash_cc for r in simsort(edges, min_sim=0.5).collect()}
+    assert out[1] == 100 and out[2] == 100
+    assert out[3] == -(3 + 1)
+
+
+def test_simsort_keeps_good_cluster(spark):
+    from mapping_analysis_spark.operators.simsort import simsort
+
+    edges = spark.createDataFrame(
+        [(1, 2, 0.9, 5), (2, 3, 0.8, 5), (1, 3, 0.85, 5)],
+        "src long, dst long, agg_sim double, hash_cc long",
+    )
+    out = {r.id: r.hash_cc for r in simsort(edges, min_sim=0.5).collect()}
+    assert set(out.values()) == {5}
+
+
+# ---------------------------------------------------------------------------
+# representatives + quality
+# ---------------------------------------------------------------------------
+
+
+def test_majority_fusion_tie_breaks(spark):
+    from mapping_analysis_spark.operators.representatives import majority_value
+
+    df = spark.createDataFrame(
+        [(1, "aa"), (1, "aa"), (1, "bbb"), (2, "x"), (2, "yy")],
+        "cc long, v string",
+    )
+    got = {r.cc: r.v for r in majority_value(df, "cc", "v").collect()}
+    assert got[1] == "aa"      # count wins
+    assert got[2] == "yy"      # tie → longer string
+
+
+def test_create_representatives(spark):
+    from mapping_analysis_spark.operators.representatives import (
+        create_representatives,
+    )
+
+    members = spark.createDataFrame(
+        [
+            (100, "c1", "1", "hello"),
+            (100, "c2", "2", "hello"),
+            (100, "c3", "3", "other"),
+            (200, "c9", "1", "solo"),
+        ],
+        "cc_id long, clip_id string, source string, transcript string",
+    )
+    reps = {r.cluster_id: r for r in create_representatives(
+        members, fingerprint_col=None
+    ).collect()}
+    assert reps["c1"].members == ["c1", "c2", "c3"]
+    assert reps["c1"].sources == ["1", "2", "3"]
+    assert reps["c1"].sources_mask == 0b111
+    assert reps["c1"].transcript == "hello"
+    assert reps["c9"].n_members == 1
+
+
+def test_pairwise_quality(spark):
+    from mapping_analysis_spark.operators.quality import (
+        cluster_pairs,
+        gold_pairs,
+        pairwise_quality,
+    )
+
+    clusters = spark.createDataFrame(
+        [(1, ["a", "b", "c"]), (2, ["d", "e"])], "cid long, members array<string>"
+    )
+    gold = spark.createDataFrame(
+        [("a", 1), ("b", 1), ("c", 2), ("d", 3), ("e", 3)],
+        "clip_id string, gold_cluster long",
+    )
+    q = pairwise_quality(cluster_pairs(clusters), gold_pairs(gold))
+    # test pairs: ab ac bc de (4); gold pairs: ab de (2); tp = ab, de = 2
+    assert q["n_test"] == 4 and q["n_gold"] == 2 and q["tp"] == 2
+    assert q["precision"] == 0.5 and q["recall"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# dedup + textstats edge cases
+# ---------------------------------------------------------------------------
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    from mapping_analysis_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(3, "Same  Text"), (1, "same text"), (2, "other")],
+        "doc_id long, text string",
+    )
+    assert {r.doc_id for r in exact_dedup(df).collect()} == {1, 2}
+
+
+def test_simhash_identical_and_different(spark):
+    from mapping_analysis_spark.operators.dedup import hamming64, simhash64
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, "the quick brown fox jumps"),
+         (3, "entirely unrelated words here")],
+        "id long, text string",
+    ).select("id", simhash64(F.col("text")).alias("sh"))
+    rows = {r.id: r.sh for r in df.collect()}
+    assert rows[1] == rows[2]
+    l = spark.createDataFrame([(rows[1], rows[3])], "a long, b long")
+    d = l.select(hamming64(F.col("a"), F.col("b")).alias("h")).first().h
+    assert d > 8
+
+
+def test_word_shingles_edges(spark):
+    from mapping_analysis_spark.operators.dedup import word_shingles
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "one"), (3, "x y")], "id long, text string"
+    )
+    got = {r.id: r.sh for r in df.select(
+        "id", word_shingles(F.col("text"), 3).alias("sh")
+    ).collect()}
+    assert got[1] == ["a b c", "b c d"]
+    assert got[2] == ["one"]
+    assert got[3] == ["x y"]
+
+
+def test_brute_force_topk_exact(spark):
+    from mapping_analysis_spark.operators.similarity_search import brute_force_topk
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.7, 0.7])],
+        "vec_id long, embedding array<float>",
+    )
+    q = spark.createDataFrame(
+        [(10, [1.0, 0.1])], "query_id long, embedding array<float>"
+    )
+    got = [
+        (r.vec_id, r.rank)
+        for r in brute_force_topk(corpus, q, k=2).orderBy("rank").collect()
+    ]
+    assert got[0][0] == 1 and got[1][0] == 3
+
+
+def test_language_id_und(spark):
+    from mapping_analysis_spark.operators.textstats import language_id
+
+    df = spark.createDataFrame(
+        [(1, "zzz qqq www"), (2, "the cat and the hat is on the mat")],
+        "id long, text string",
+    )
+    got = {r.id: r.l for r in df.select(
+        "id", language_id(F.col("text")).alias("l")
+    ).collect()}
+    assert got[1] == "und"
+    assert got[2] == "en"
