@@ -57,6 +57,14 @@ class ClusterRoundConfig:
     max_block_rows: int = 256
     use_audio: bool = True
     max_rounds: int = 8
+    # round-0 LSH candidate union: catches pairs whose prefix blocking keys
+    # diverged (typo in the first chars, dropped first token — the recall
+    # gap of pure prefix blocking; the reference offers LSH_BLOCKING as an
+    # alternative strategy, we run it as a complement)
+    use_lsh_round0: bool = True
+    lsh_bands: int = 12
+    lsh_rows_per_band: int = 3
+    lsh_seed: int = 42
 
 
 def _cluster_state(prepared: DataFrame, use_audio: bool) -> DataFrame:
@@ -76,8 +84,14 @@ def _cluster_state(prepared: DataFrame, use_audio: bool) -> DataFrame:
     return prepared.select(*cols)
 
 
-def _round_pairs(clusters: DataFrame, cfg: ClusterRoundConfig) -> DataFrame:
-    """Candidate pairs between current clusters with restrictions."""
+def _round_pairs(
+    clusters: DataFrame,
+    cfg: ClusterRoundConfig,
+    extra_pair_ids: DataFrame | None = None,
+) -> DataFrame:
+    """Candidate pairs between current clusters with restrictions.
+    ``extra_pair_ids`` (src, dst) — e.g. LSH candidates — are unioned in
+    with payloads joined back, then the pair set is deduplicated."""
     payload = ["members", "sources_mask", "label", "trigram_set", "n_members"]
     if cfg.use_audio and "fingerprint" in clusters.columns:
         payload.append("fingerprint")
@@ -96,6 +110,40 @@ def _round_pairs(clusters: DataFrame, cfg: ClusterRoundConfig) -> DataFrame:
         restrict=restrict,
         payload_cols=payload,
     )
+    if extra_pair_ids is not None:
+        side = clusters.select(
+            "id", "blocking_key", *[F.col(c) for c in payload]
+        )
+        lp = (
+            extra_pair_ids.join(
+                side.select(
+                    F.col("id").alias("src"),
+                    F.col("blocking_key"),
+                    *[F.col(c).alias(f"src_{c}") for c in payload],
+                ),
+                "src",
+            )
+            .join(
+                side.select(
+                    F.col("id").alias("dst"),
+                    *[F.col(c).alias(f"dst_{c}") for c in payload],
+                ),
+                "dst",
+            )
+            .filter(
+                (
+                    F.col("src_sources_mask").bitwiseAND(F.col("dst_sources_mask"))
+                    == 0
+                )
+                & (
+                    F.bit_count(F.col("src_sources_mask"))
+                    + F.bit_count(F.col("dst_sources_mask"))
+                    <= cfg.max_sources
+                )
+            )
+            .select(*pairs.columns)
+        )
+        pairs = pairs.unionByName(lp).dropDuplicates(["src", "dst"])
     sims = [
         cosine_trigram_from_sets(
             F.col("src_trigram_set"), F.col("dst_trigram_set")
@@ -169,14 +217,63 @@ def _merge_matches(clusters: DataFrame, matches: DataFrame, cfg: ClusterRoundCon
     return untouched.unionByName(merged)
 
 
-def iterative_max_both_clustering(
-    prepared: DataFrame, cfg: ClusterRoundConfig | None = None
+def candidate_components(state: DataFrame, cfg: ClusterRoundConfig) -> DataFrame:
+    """Decomposition pass (the reference's DefaultPreprocessing →
+    ConnectedComponentIdAdder chain, preprocessing/DefaultPreprocessing
+    .java:39-60): candidate pairs = blocked pairs ∪ LSH pairs, sim ≥
+    threshold, then connected components over them. Returns (id, cc).
+
+    Components become the merge grouping — every record reachable through
+    above-threshold candidates is clusterable with its peers even when
+    their prefix blocking keys diverged (the recall limit of pure prefix
+    blocking)."""
+    extra = None
+    if cfg.use_lsh_round0:
+        from .blocking import lsh_pairs
+
+        extra = lsh_pairs(
+            state,
+            trigram_col="trigram_set",
+            id_col="id",
+            bands=cfg.lsh_bands,
+            rows_per_band=cfg.lsh_rows_per_band,
+            seed=cfg.lsh_seed,
+        )
+    pairs = _round_pairs(state, cfg, extra_pair_ids=extra)
+    from .graph import connected_components
+
+    return connected_components(
+        pairs.select("src", "dst"),
+        vertices=state.select("id"),
+        id_col="id",
+        cc_col="cc",
+    )
+
+
+def cluster_rounds(
+    state: DataFrame, cfg: ClusterRoundConfig | None = None
 ) -> DataFrame:
-    """Cluster prepared records; returns the final cluster state
-    (id, members: array<long>, sources_mask, label, blocking_key,
-    n_members[, fingerprint])."""
+    """Cluster an existing cluster-state DataFrame (id, members,
+    sources_mask, label, blocking_key, trigram_set, n_members
+    [, fingerprint]).
+
+    Stage 1 (decomposition): candidate components over blocked ∪ LSH
+    above-threshold pairs — the grouping within which merging happens.
+    Stage 2 (merge): iterative reciprocal-best rounds keyed by component.
+    The returned state's ``blocking_key`` is restored to the prefix key of
+    the fused label (so downstream/streaming re-keying stays stable)."""
     cfg = cfg or ClusterRoundConfig()
-    clusters = _cluster_state(prepared, cfg.use_audio).localCheckpoint(eager=True)
+    clusters = state.localCheckpoint(eager=True)
+    cc = candidate_components(clusters, cfg)
+    clusters = (
+        clusters.drop("blocking_key")
+        .join(cc, "id")
+        .withColumn("blocking_key", F.col("cc").cast("string"))
+        .drop("cc")
+        .localCheckpoint(eager=True)
+    )
+    # rounds below re-pair within components only; LSH already consumed
+    cfg = ClusterRoundConfig(**{**cfg.__dict__, "use_lsh_round0": False})
     # Work-set pruning: any block holding a pair ≥ min_sim always yields at
     # least one reciprocal-best match (the block's global max pair is
     # reciprocal-best by definition), so a block with NO match this round
@@ -184,17 +281,53 @@ def iterative_max_both_clustering(
     # This shrinks the per-round shuffles to the still-active blocks only
     # (the delta-iteration workset semantics of MergeExecution.java:170-181).
     finished: list = []
-    for _ in range(cfg.max_rounds):
+    for rnd in range(cfg.max_rounds):
+        extra = None
+        if rnd == 0 and cfg.use_lsh_round0:
+            from .blocking import lsh_pairs
+
+            extra = lsh_pairs(
+                clusters,
+                trigram_col="trigram_set",
+                id_col="id",
+                bands=cfg.lsh_bands,
+                rows_per_band=cfg.lsh_rows_per_band,
+                seed=cfg.lsh_seed,
+            )
         matches = max_both_selection(
-            _round_pairs(clusters, cfg), sim_col="agg_sim"
+            _round_pairs(clusters, cfg, extra_pair_ids=extra), sim_col="agg_sim"
         ).localCheckpoint(eager=True)
         if matches.isEmpty():
             break
-        # key set is usually small after round 1; AQE broadcasts it when so
+        # key set is usually small after round 1; AQE broadcasts it when so.
+        # A cluster leaves the workset iff its block is inactive AND it was
+        # not itself matched (an LSH cross-block match can pull a cluster
+        # out of an otherwise-inactive block).
         active_keys = matches.select("blocking_key").distinct()
-        finished.append(clusters.join(active_keys, "blocking_key", "left_anti"))
-        working = clusters.join(active_keys, "blocking_key", "left_semi")
+        matched_ids = (
+            matches.select(F.col("src").alias("id"))
+            .unionByName(matches.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+        inactive = clusters.join(active_keys, "blocking_key", "left_anti")
+        finished.append(inactive.join(matched_ids, "id", "left_anti"))
+        working = clusters.join(
+            active_keys, "blocking_key", "left_semi"
+        ).unionByName(inactive.join(matched_ids, "id", "left_semi"))
         clusters = _merge_matches(working, matches, cfg).localCheckpoint(eager=True)
     for part in finished:
         clusters = clusters.unionByName(part)
-    return clusters
+    # restore a content-derived blocking key (component ids are run-local)
+    from ..functions.text import music_blocking_label
+
+    return clusters.withColumn(
+        "blocking_key", music_blocking_label(F.col("label"), 4)
+    )
+
+
+def iterative_max_both_clustering(
+    prepared: DataFrame, cfg: ClusterRoundConfig | None = None
+) -> DataFrame:
+    """Cluster prepared records end-to-end (see ``cluster_rounds``)."""
+    cfg = cfg or ClusterRoundConfig()
+    return cluster_rounds(_cluster_state(prepared, cfg.use_audio), cfg)

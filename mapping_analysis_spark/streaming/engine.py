@@ -117,6 +117,19 @@ class StreamingERJob:
             shutil.rmtree(os.path.join(self.cfg.state_dir, f"v={v}"),
                           ignore_errors=True)
 
+    @staticmethod
+    def _band_keys_expr(rcfg: ClusterRoundConfig):
+        """LSH band keys of the cluster label's trigram set (the state's
+        secondary index for affected-cluster lookup)."""
+        from ..operators.blocking import lsh_band_keys, minhash_signature
+
+        sig = minhash_signature(
+            F.col("trigram_set"),
+            rcfg.lsh_bands * rcfg.lsh_rows_per_band,
+            rcfg.lsh_seed,
+        )
+        return lsh_band_keys(sig, rcfg.lsh_bands, rcfg.lsh_rows_per_band)
+
     # -- watermark bookkeeping --------------------------------------------
 
     def _max_event_time(self) -> float | None:
@@ -162,7 +175,9 @@ class StreamingERJob:
             n_late = n_in - on_time.count()
         new_max = max(v for v in (prev_max, batch_max) if v is not None)
 
-        # ---- prepare arrivals, load state of affected keys only
+        # ---- prepare arrivals, load state of AFFECTED clusters only:
+        # same prefix blocking key OR any shared LSH band key (so a new
+        # clip can bridge into a state cluster whose prefix key diverged)
         prepared = prepare(on_time, pcfg).persist()
         rcfg = ClusterRoundConfig(
             min_sim=pcfg.min_sim,
@@ -171,38 +186,42 @@ class StreamingERJob:
             use_audio=pcfg.use_audio,
         )
         arrivals = _cluster_state(prepared, rcfg.use_audio)
+        band_expr = self._band_keys_expr(rcfg)
         state = self._load_state(batch_id)
         if state is not None:
-            affected_keys = arrivals.select("blocking_key").distinct()
-            touched = state.join(affected_keys, "blocking_key", "left_semi")
-            untouched = state.join(affected_keys, "blocking_key", "left_anti")
+            arr_keys = arrivals.select("blocking_key").distinct()
+            arr_bands = (
+                arrivals.select(F.explode(band_expr).alias("_bk")).distinct()
+            )
+            by_key = state.join(arr_keys, "blocking_key", "left_semi").select("id")
+            by_band = (
+                state.select("id", F.explode("band_keys").alias("_bk"))
+                .join(arr_bands, "_bk", "left_semi")
+                .select("id")
+            )
+            touched_ids = by_key.unionByName(by_band).distinct()
+            touched = state.join(touched_ids, "id", "left_semi").drop("band_keys")
+            untouched = state.join(touched_ids, "id", "left_anti")
             working = touched.unionByName(arrivals, allowMissingColumns=True)
         else:
             untouched = None
             working = arrivals
 
-        # ---- cluster the affected key groups (same rounds as batch mode)
-        from ..operators.clustering import max_both_selection, _round_pairs, _merge_matches
+        # ---- cluster the working set: same decomposition + reciprocal-
+        # best rounds as batch mode (cluster_rounds), so streaming output
+        # converges to the batch result for the same input
+        from ..operators.clustering import cluster_rounds
 
-        clusters = working.localCheckpoint(eager=True)
-        finished: list[DataFrame] = []
-        for _ in range(rcfg.max_rounds):
-            matches = max_both_selection(
-                _round_pairs(clusters, rcfg), sim_col="agg_sim"
-            ).localCheckpoint(eager=True)
-            if matches.isEmpty():
-                break
-            active = matches.select("blocking_key").distinct()
-            finished.append(clusters.join(active, "blocking_key", "left_anti"))
-            clusters = _merge_matches(
-                clusters.join(active, "blocking_key", "left_semi"), matches, rcfg
-            ).localCheckpoint(eager=True)
-        for part in finished:
-            clusters = clusters.unionByName(part)
+        clusters = cluster_rounds(working, rcfg)
+        clusters_with_bands = clusters.withColumn("band_keys", band_expr)
         new_state = (
-            clusters if untouched is None
-            else clusters.unionByName(untouched)
+            clusters_with_bands
+            if untouched is None
+            else clusters_with_bands.unionByName(untouched)
         ).localCheckpoint(eager=True)
+        clusters = new_state.join(
+            clusters.select("id"), "id", "left_semi"
+        ).drop("band_keys")
 
         # ---- exactly-once sink: overwrite THIS batch's partition only
         out_path = os.path.join(cfg.output_dir, f"batch_id={batch_id}")

@@ -1,0 +1,112 @@
+"""Scaling evidence for the north rule: the same ER job on the same input
+at two parallelism levels (local[N] vs local[4N] — the sandbox proxy for
+N vs 4N executors), reporting rows/sec at each, the scaling efficiency
+(throughput ratio / 4), and an order-insensitive output hash that must be
+IDENTICAL across levels (exactly-once, deterministic plan).
+
+Usage:
+  python scripts/bench_scaling.py            # run both levels (8, 32), print summary
+  python scripts/bench_scaling.py --run 8    # single level (invoked as subprocess)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N_CLUSTERS = int(os.environ.get("SCALING_N_CLUSTERS", "2000"))
+SEED = 42
+CORPUS = f"/tmp/spark_graft_scaling_{N_CLUSTERS}_{SEED}"
+
+
+def ensure_corpus() -> None:
+    from mapping_analysis_spark.datagen.clips import write_clips_parquet
+    from mapping_analysis_spark.session import get_spark
+
+    if os.path.exists(os.path.join(CORPUS, "_SUCCESS")):
+        return
+    spark = get_spark("scaling-datagen", cpus=os.cpu_count() or 8)
+    write_clips_parquet(spark, CORPUS, N_CLUSTERS, seed=SEED, partitions=32)
+    spark.stop()
+
+
+def run_level(cpus: int) -> dict:
+    from pyspark.sql import functions as F
+
+    from mapping_analysis_spark.pipeline import PipelineConfig, run_batch
+    from mapping_analysis_spark.session import get_spark
+
+    spark = get_spark(f"scaling-{cpus}", cpus=cpus, shuffle_partitions=cpus)
+    clips = spark.read.parquet(CORPUS).drop("gold_cluster")
+    n_clips = clips.count()
+    t0 = time.time()
+    res = run_batch(clips, PipelineConfig(min_sim=0.7))
+    clusters = res["clusters"]
+    # order-insensitive output hash: xor of per-row hashes over canonical
+    # columns (cluster id + sorted members)
+    hashed = clusters.select(
+        F.xxhash64(
+            F.col("cluster_id"), F.concat_ws(",", F.col("members"))
+        ).alias("h")
+    )
+    agg = hashed.agg(
+        F.sum("h").alias("s"), F.count("h").alias("n")
+    ).collect()[0]
+    elapsed = time.time() - t0
+    spark.stop()
+    return {
+        "cpus": cpus,
+        "n_clips": n_clips,
+        "n_clusters": int(agg.n),
+        "output_hash": int(agg.s),
+        "elapsed_sec": round(elapsed, 2),
+        "clips_per_sec": round(n_clips / elapsed, 2),
+    }
+
+
+def main() -> None:
+    if "--run" in sys.argv:
+        cpus = int(sys.argv[sys.argv.index("--run") + 1])
+        ensure_corpus()
+        print("RESULT " + json.dumps(run_level(cpus)))
+        return
+
+    ensure_corpus()
+    results = {}
+    for cpus in (8, 32):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--run", str(cpus)],
+            capture_output=True,
+            text=True,
+            timeout=3600,
+        )
+        line = [l for l in proc.stdout.splitlines() if l.startswith("RESULT ")]
+        if not line:
+            print(proc.stdout[-3000:], file=sys.stderr)
+            print(proc.stderr[-3000:], file=sys.stderr)
+            raise SystemExit(f"level {cpus} failed")
+        results[cpus] = json.loads(line[-1][len("RESULT "):])
+
+    r8, r32 = results[8], results[32]
+    identical = r8["output_hash"] == r32["output_hash"] and (
+        r8["n_clusters"] == r32["n_clusters"]
+    )
+    efficiency = (r32["clips_per_sec"] / r8["clips_per_sec"]) / 4.0
+    summary = {
+        "n_clips": r8["n_clips"],
+        "local8": r8,
+        "local32": r32,
+        "identical_output": identical,
+        "speedup_8_to_32": round(r32["clips_per_sec"] / r8["clips_per_sec"], 3),
+        "scaling_efficiency": round(efficiency, 3),
+    }
+    print(json.dumps(summary, indent=2))
+
+
+if __name__ == "__main__":
+    main()
