@@ -1,0 +1,100 @@
+"""TypeGroupBy — untyped vertices adopt the component of their best typed
+neighbor.
+
+Re-creates decomposition/typegroupby/TypeGroupBy.java:39-121 (+
+NeighborTupleCreator.java:19-35): a vertex with no semantic type takes the
+``hash_cc`` of its maximum-similarity typed neighbor (ties → minimum
+hash_cc); groups of only-untyped vertices fall back to the minimum cc_id.
+Expressed as the two-directional neighbor join + one window argmax — the
+distributed equivalent of the reference's groupReduceOnNeighbors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+NO_TYPE = "no_type"
+
+
+def type_group_by(
+    vertices: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    type_col: str = "type",
+    cc_col: str = "cc_id",
+    hash_cc_col: str = "hash_cc",
+    sim_col: str = "agg_sim",
+) -> DataFrame:
+    """Returns vertices with ``hash_cc`` updated for untyped vertices.
+
+    ``vertices``: (id, type, cc_id, hash_cc); untyped ⇔ type is null/empty/
+    NO_TYPE. ``edges``: (src, dst, agg_sim).
+    """
+    untyped = F.col(type_col).isNull() | (F.col(type_col) == "") | (
+        F.col(type_col) == NO_TYPE
+    )
+    nbrs = edges.select(
+        F.col("src").alias("_v"), F.col("dst").alias("_n"), F.col(sim_col)
+    ).unionByName(
+        edges.select(
+            F.col("dst").alias("_v"), F.col("src").alias("_n"), F.col(sim_col)
+        )
+    )
+    nbr_info = nbrs.join(
+        vertices.select(
+            F.col(id_col).alias("_n"),
+            F.col(type_col).alias("_n_type"),
+            F.col(hash_cc_col).alias("_n_hash_cc"),
+        ),
+        "_n",
+    ).filter(
+        F.col("_n_type").isNotNull()
+        & (F.col("_n_type") != "")
+        & (F.col("_n_type") != NO_TYPE)
+    )
+    w = Window.partitionBy("_v").orderBy(F.desc(sim_col), F.asc("_n_hash_cc"))
+    best = (
+        nbr_info.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(F.col("_v").alias(id_col), F.col("_n_hash_cc").alias("_adopted"))
+    )
+    # untyped groups with no typed neighbor anywhere: min cc_id of the group
+    min_cc = Window.partitionBy(cc_col)
+    return (
+        vertices.join(best, id_col, "left")
+        .withColumn("_fallback", F.min(cc_col).over(min_cc))
+        .withColumn(
+            hash_cc_col,
+            F.when(~untyped, F.col(hash_cc_col)).otherwise(
+                F.coalesce(F.col("_adopted"), F.col("_fallback"))
+            ),
+        )
+        .drop("_adopted", "_fallback")
+    )
+
+
+def data_corruption_remove_edges(edges: DataFrame, every_nth: int = 10) -> DataFrame:
+    """Test-fixture corruption: drop every n-th edge deterministically
+    (corruption/EdgeRemoveCorruptionFunction.java:15-32 — the reference
+    drops by index; we key on a stable hash so the choice is
+    partition-independent)."""
+    return edges.filter(
+        F.pmod(F.xxhash64(F.col("src"), F.col("dst")), every_nth) != 0
+    )
+
+
+def data_corruption_add_edges(
+    vertices: DataFrame, every_nth: int = 10, id_col: str = "id"
+) -> DataFrame:
+    """Fabricate edges between consecutive sampled vertices
+    (corruption/EdgeCreateCorruptionFunction.java)."""
+    sampled = vertices.filter(
+        F.pmod(F.xxhash64(F.col(id_col)), every_nth) == 0
+    ).select(F.col(id_col))
+    w = Window.orderBy(id_col)
+    return (
+        sampled.withColumn("_next", F.lead(id_col).over(w))
+        .filter(F.col("_next").isNotNull())
+        .select(F.col(id_col).alias("src"), F.col("_next").alias("dst"))
+    )
