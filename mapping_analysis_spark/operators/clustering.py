@@ -63,8 +63,13 @@ class ClusterRoundConfig:
     # alternative strategy, we run it as a complement)
     use_lsh_round0: bool = True
     lsh_bands: int = 12
-    lsh_rows_per_band: int = 3
+    lsh_rows_per_band: int = 4
     lsh_seed: int = 42
+    # guardrail: candidate components larger than this fall back to
+    # (component × prefix-blocking-key) sub-grouping — a chain of borderline
+    # candidate edges (e.g. spuriously-similar fingerprints) must never
+    # produce an unbounded quadratic merge group
+    max_component_rows: int = 512
 
 
 def _cluster_state(prepared: DataFrame, use_audio: bool) -> DataFrame:
@@ -250,6 +255,142 @@ def candidate_components(state: DataFrame, cfg: ClusterRoundConfig) -> DataFrame
     )
 
 
+def merge_components(clusters: DataFrame, cfg: ClusterRoundConfig) -> DataFrame:
+    """One-shot merge: per component group, run the exact local greedy
+    fixpoint (DeltaIterateMergeMusicStepFunction.java:45-163 semantics —
+    max-sim pair first, ties min small id / min big id, source-overlap and
+    max-source restrictions, attribute + fingerprint fusion).
+
+    The decomposition guardrail caps groups at max_component_rows, so the
+    local O(n²) solve is bounded; the whole merge phase costs exactly ONE
+    shuffle (groupBy blocking_key) — no driver rounds. This is the same
+    trade the reference makes: its delta iteration confines every superstep
+    to one blocking key; with bounded groups the local fixpoint is
+    semantically identical and removes #supersteps × 4 shuffles."""
+    import math
+
+    import pandas as pd
+
+    from ..functions.local_sim import (
+        _INSANE,
+        cosine_vec_local,
+        mean_agg_local,
+        simplify_local,
+        trigram_set_local,
+    )
+    from pyspark.sql import types as T
+
+    use_audio = cfg.use_audio and "fingerprint" in clusters.columns
+    fields = [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("members", T.ArrayType(T.LongType()), False),
+        T.StructField("sources_mask", T.LongType(), False),
+        T.StructField("label", T.StringType(), True),
+        T.StructField("blocking_key", T.StringType(), True),
+        T.StructField("n_members", T.IntegerType(), False),
+    ]
+    if use_audio:
+        fields.append(T.StructField("fingerprint", T.ArrayType(T.FloatType()), True))
+    schema = T.StructType(fields)
+    threshold, max_sources = cfg.min_sim, cfg.max_sources
+
+    def _tg(label: str | None) -> frozenset | None:
+        if label is None or label in _INSANE:
+            return None
+        return trigram_set_local(simplify_local(label))
+
+    def sim_fn(a: dict, b: dict) -> float | None:
+        # trigram sets cached per cluster ('_tg'), semantics identical to
+        # local_sim.cosine_trigram_local
+        sa_, sb_ = a.get("_tg"), b.get("_tg")
+        if sa_ is None or sb_ is None:
+            st = None
+        elif not sa_ and not sb_:
+            st = 1.0
+        elif not sa_ or not sb_:
+            st = 0.0
+        else:
+            inter = len(sa_ & sb_)
+            st = round(inter / math.sqrt(len(sa_) * len(sb_)), 6)
+        if not use_audio:
+            return st
+        au = cosine_vec_local(a.get("fingerprint"), b.get("fingerprint"))
+        return mean_agg_local(st, au, scale=6)
+
+    def solve(pdf: pd.DataFrame) -> pd.DataFrame:
+        clusters_l: dict[int, dict] = {}
+        for row in pdf.to_dict("records"):
+            row["members"] = list(row["members"])
+            if use_audio and row.get("fingerprint") is not None:
+                row["fingerprint"] = list(row["fingerprint"])
+            row["_tg"] = _tg(row.get("label"))
+            clusters_l[row["id"]] = row
+
+        def valid(a: dict, b: dict) -> bool:
+            if a["sources_mask"] & b["sources_mask"]:
+                return False
+            return (
+                bin(a["sources_mask"]).count("1")
+                + bin(b["sources_mask"]).count("1")
+                <= max_sources
+            )
+
+        ids = sorted(clusters_l)
+        heap: dict[tuple[int, int], float] = {}
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                if valid(clusters_l[a], clusters_l[b]):
+                    s = sim_fn(clusters_l[a], clusters_l[b])
+                    if s is not None and s >= threshold:
+                        heap[(a, b)] = s
+        while heap:
+            (a, b), _s = max(
+                heap.items(), key=lambda kv: (kv[1], -kv[0][0], -kv[0][1])
+            )
+            ca, cb = clusters_l[a], clusters_l[b]
+            keep, drop = (a, b) if a < b else (b, a)
+            merged = dict(clusters_l[keep])
+            merged["members"] = sorted(ca["members"] + cb["members"])
+            merged["sources_mask"] = ca["sources_mask"] | cb["sources_mask"]
+            la, lb = ca.get("label") or "", cb.get("label") or ""
+            merged["label"] = la if len(la) >= len(lb) else lb
+            merged["_tg"] = ca["_tg"] if len(la) >= len(lb) else cb["_tg"]
+            na, nb = ca["n_members"], cb["n_members"]
+            merged["n_members"] = na + nb
+            if use_audio:
+                fa, fb = ca.get("fingerprint"), cb.get("fingerprint")
+                if fa is None:
+                    merged["fingerprint"] = fb
+                elif fb is None:
+                    merged["fingerprint"] = fa
+                else:
+                    merged["fingerprint"] = [
+                        (x * na + y * nb) / (na + nb) for x, y in zip(fa, fb)
+                    ]
+            clusters_l[keep] = merged
+            del clusters_l[drop]
+            heap = {
+                p: s for p, s in heap.items() if keep not in p and drop not in p
+            }
+            for other in clusters_l:
+                if other == keep:
+                    continue
+                if valid(merged, clusters_l[other]):
+                    s = sim_fn(merged, clusters_l[other])
+                    if s is not None and s >= threshold:
+                        heap[(min(keep, other), max(keep, other))] = s
+        cols = [f.name for f in fields]
+        return pd.DataFrame(
+            [{c: cl.get(c) for c in cols} for cl in clusters_l.values()],
+            columns=cols,
+        )
+
+    keep_cols = [f.name for f in fields]
+    return clusters.select(*keep_cols).groupBy("blocking_key").applyInPandas(
+        solve, schema=schema
+    )
+
+
 def cluster_rounds(
     state: DataFrame, cfg: ClusterRoundConfig | None = None
 ) -> DataFrame:
@@ -258,21 +399,52 @@ def cluster_rounds(
     [, fingerprint]).
 
     Stage 1 (decomposition): candidate components over blocked ∪ LSH
-    above-threshold pairs — the grouping within which merging happens.
-    Stage 2 (merge): iterative reciprocal-best rounds keyed by component.
-    The returned state's ``blocking_key`` is restored to the prefix key of
-    the fused label (so downstream/streaming re-keying stays stable)."""
+    above-threshold pairs (size-capped), the grouping within which merging
+    happens. Stage 2 (merge): per-component local greedy fixpoint — one
+    shuffle. The returned state's ``blocking_key`` is restored to the
+    prefix key of the fused label (so streaming re-keying stays stable),
+    and ``trigram_set`` is recomputed from the fused label."""
+    from ..util import materialize
+
     cfg = cfg or ClusterRoundConfig()
-    clusters = state.localCheckpoint(eager=True)
+    clusters = materialize(state)
     cc = candidate_components(clusters, cfg)
+    sizes = cc.groupBy("cc").agg(F.count(F.lit(1)).alias("_cc_n"))
     clusters = (
-        clusters.drop("blocking_key")
-        .join(cc, "id")
-        .withColumn("blocking_key", F.col("cc").cast("string"))
-        .drop("cc")
-        .localCheckpoint(eager=True)
+        clusters.join(cc, "id")
+        .join(sizes, "cc")
+        .withColumn(
+            "blocking_key",
+            F.when(
+                F.col("_cc_n") <= cfg.max_component_rows,
+                F.col("cc").cast("string"),
+            ).otherwise(
+                F.concat_ws("|", F.col("cc").cast("string"), F.col("blocking_key"))
+            ),
+        )
+        .drop("cc", "_cc_n")
     )
-    # rounds below re-pair within components only; LSH already consumed
+    merged = merge_components(clusters, cfg)
+    from ..functions.text import music_blocking_label
+
+    return merged.withColumn(
+        "blocking_key", music_blocking_label(F.col("label"), 4)
+    ).withColumn("trigram_set", trigram_set(F.col("label")))
+
+
+def distributed_merge_rounds(
+    state: DataFrame, cfg: ClusterRoundConfig | None = None
+) -> DataFrame:
+    """Alternative merge phase for UNCAPPED giant groups: iterative
+    reciprocal-best (MAX_BOTH) rounds, every round a fixed number of
+    shuffles (see module docstring). Used when merge groups can exceed
+    what a single task should hold; the default path (merge_components)
+    assumes the decomposition cap."""
+    from ..util import materialize
+
+    cfg = cfg or ClusterRoundConfig()
+    clusters = materialize(state)
+    # rounds below re-pair within the given blocking_key groups
     cfg = ClusterRoundConfig(**{**cfg.__dict__, "use_lsh_round0": False})
     # Work-set pruning: any block holding a pair ≥ min_sim always yields at
     # least one reciprocal-best match (the block's global max pair is
@@ -294,9 +466,12 @@ def cluster_rounds(
                 rows_per_band=cfg.lsh_rows_per_band,
                 seed=cfg.lsh_seed,
             )
-        matches = max_both_selection(
-            _round_pairs(clusters, cfg, extra_pair_ids=extra), sim_col="agg_sim"
-        ).localCheckpoint(eager=True)
+        matches = materialize(
+            max_both_selection(
+                _round_pairs(clusters, cfg, extra_pair_ids=extra),
+                sim_col="agg_sim",
+            )
+        )
         if matches.isEmpty():
             break
         # key set is usually small after round 1; AQE broadcasts it when so.
@@ -314,7 +489,9 @@ def cluster_rounds(
         working = clusters.join(
             active_keys, "blocking_key", "left_semi"
         ).unionByName(inactive.join(matched_ids, "id", "left_semi"))
-        clusters = _merge_matches(working, matches, cfg).localCheckpoint(eager=True)
+        # fresh path per round: `finished` parts keep referencing earlier
+        # rounds' materialized state (rounds are bounded by max_rounds)
+        clusters = materialize(_merge_matches(working, matches, cfg))
     for part in finished:
         clusters = clusters.unionByName(part)
     # restore a content-derived blocking key (component ids are run-local)

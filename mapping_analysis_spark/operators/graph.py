@@ -42,28 +42,48 @@ def connected_components(
     shuffle + one join; `localCheckpoint` guards the driver-side loop from
     lineage blowup (Flink's iterate operator does this implicitly).
     """
-    sym = (
+    from ..util import loop_paths, materialize
+
+    # materialize the symmetrized edge list ONCE: the union references the
+    # (possibly expensive) upstream pair plan twice, and the iteration must
+    # never re-execute it. Parquet round-trips, not localCheckpoint — see
+    # util.materialize for why (repeated checkpoints stop truncating).
+    sym = materialize(
         edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
         .unionByName(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
         .dropDuplicates(["a", "b"])
-        # materialize ONCE: cuts the (possibly UDF-heavy) upstream lineage so
-        # the iteration never re-executes it (Flink's iterate does the same)
-        .localCheckpoint(eager=True)
     )
     # initial label = min(own, min neighbor)
-    labels = (
+    paths = loop_paths(3, "cc_labels")
+    labels = materialize(
         sym.groupBy("a")
         .agg(F.min("b").alias("nbr_min"))
         .select(
             F.col("a").alias(id_col),
             F.least(F.col("a"), F.col("nbr_min")).alias(cc_col),
-        )
-        .localCheckpoint(eager=True)
+        ),
+        paths[0],
     )
     # Iterate: (1) one-hop propagation — every node takes the min of its
-    # own and its neighbors' labels; (2) pointer jumping — l(v) := l(l(v)).
-    # The jump halves label-chain lengths each round, so convergence is
-    # O(log n) rounds even on a path graph (vs O(n) for propagation alone).
+    # own and its neighbors' labels; (2) pointer jumping — l(v) := l(l(v))
+    # applied twice. The jumps halve label-chain lengths each round, so
+    # convergence is O(log n) rounds even on a path graph.
+    def _jump(df: DataFrame) -> DataFrame:
+        return (
+            df.alias("x")
+            .join(
+                df.select(
+                    F.col(id_col).alias("_pid"), F.col(cc_col).alias("_pcc")
+                ),
+                F.col(f"x.{cc_col}") == F.col("_pid"),
+                "left",
+            )
+            .select(
+                F.col(f"x.{id_col}").alias(id_col),
+                F.coalesce(F.col("_pcc"), F.col(f"x.{cc_col}")).alias(cc_col),
+            )
+        )
+
     for _i in range(max_iter):
         nbr = (
             sym.join(
@@ -84,21 +104,7 @@ def connected_components(
                 ).alias(cc_col),
             )
         )
-        l2 = (
-            l1.alias("x")
-            .join(
-                l1.select(
-                    F.col(id_col).alias("_pid"), F.col(cc_col).alias("_pcc")
-                ),
-                F.col(f"x.{cc_col}") == F.col("_pid"),
-                "left",
-            )
-            .select(
-                F.col(f"x.{id_col}").alias(id_col),
-                F.coalesce(F.col("_pcc"), F.col(f"x.{cc_col}")).alias(cc_col),
-            )
-            .localCheckpoint(eager=True)
-        )
+        l2 = materialize(_jump(_jump(l1)), paths[(_i + 1) % 3])
         changed = (
             l2.alias("n")
             .join(labels.alias("o"), id_col)

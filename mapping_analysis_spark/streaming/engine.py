@@ -212,13 +212,15 @@ class StreamingERJob:
         # converges to the batch result for the same input
         from ..operators.clustering import cluster_rounds
 
+        from ..util import materialize
+
         clusters = cluster_rounds(working, rcfg)
         clusters_with_bands = clusters.withColumn("band_keys", band_expr)
-        new_state = (
+        new_state = materialize(
             clusters_with_bands
             if untouched is None
             else clusters_with_bands.unionByName(untouched)
-        ).localCheckpoint(eager=True)
+        )
         clusters = new_state.join(
             clusters.select("id"), "id", "left_semi"
         ).drop("band_keys")

@@ -1,0 +1,57 @@
+"""Engine utilities.
+
+``materialize`` — cut lineage by writing a DataFrame to parquet and
+reading it back. Used instead of ``localCheckpoint`` inside driver loops:
+in the sandbox's Spark build, repeated (local)checkpoints stop truncating
+re-execution after ~16 accumulated calls per session (each subsequent
+materialization re-runs the whole chain, doubling per iteration), while a
+parquet round-trip is a definitive cut at flat cost (~0.5 s for loop-state
+sized data). On a cluster, point ``SPARK_GRAFT_TMP`` at shared storage
+(HDFS/S3) — the same pattern Flink's iterate achieves with its
+intermediate result partitions.
+"""
+
+from __future__ import annotations
+
+import atexit
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame
+
+_BASE: str | None = None
+
+
+def _base_dir() -> str:
+    global _BASE
+    if _BASE is None:
+        root = os.environ.get("SPARK_GRAFT_TMP")
+        if root:
+            os.makedirs(root, exist_ok=True)
+            _BASE = tempfile.mkdtemp(prefix="mas_mat_", dir=root)
+        else:
+            _BASE = tempfile.mkdtemp(prefix="mas_mat_")
+        atexit.register(shutil.rmtree, _BASE, ignore_errors=True)
+    return _BASE
+
+
+def materialize(df: DataFrame, path: str | None = None) -> DataFrame:
+    """Write ``df`` to parquet and return a DataFrame reading it back —
+    a hard lineage cut. ``path`` may be provided to reuse/alternate a
+    fixed location (bounded disk in loops); otherwise a fresh temp subdir
+    is used."""
+    spark = df.sparkSession
+    if path is None:
+        path = os.path.join(_base_dir(), uuid.uuid4().hex)
+    df.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def loop_paths(n: int = 2, tag: str = "loop") -> list[str]:
+    """n alternating materialization paths for a driver loop (iteration i
+    writes paths[i % n], so disk stays bounded while the previous
+    iteration's data remains readable)."""
+    base = os.path.join(_base_dir(), f"{tag}_{uuid.uuid4().hex[:8]}")
+    return [f"{base}_{i}" for i in range(n)]
