@@ -104,7 +104,7 @@ def connected_components(
                 ).alias(cc_col),
             )
         )
-        l2 = materialize(_jump(_jump(l1)), paths[(_i + 1) % 3])
+        l2 = materialize(_jump(_jump(_jump(l1))), paths[(_i + 1) % 3])
         changed = (
             l2.alias("n")
             .join(labels.alias("o"), id_col)

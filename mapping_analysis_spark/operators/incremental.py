@@ -134,6 +134,103 @@ def hungarian_match_block(pdf: pd.DataFrame, min_sim: float) -> pd.DataFrame:
     return pd.DataFrame(out, columns=["src", "dst", "agg_sim"])
 
 
+def source_addition_clustering(
+    state: DataFrame,
+    arrivals: DataFrame,
+    min_sim: float = 0.7,
+    max_sources: int = 5,
+    selection: str = "max_both",
+    block_col: str = "blocking_key",
+) -> DataFrame:
+    """SOURCE_ADDITION step (clusterstrategies/SourceAdditionClustering
+    .java:62-191): match a new source's records against the existing
+    cluster representatives, merge the matched pairs, re-add the unmatched
+    on both sides.
+
+    ``state``/``arrivals`` are cluster-state rows (id, members,
+    sources_mask, label, blocking_key, trigram_set, n_members
+    [, fingerprint]); arrivals are typically singletons of one new source.
+    Candidates are cross-side only (DataSourceOverlapCheckFilterFunction —
+    here: the pair must span state × arrivals), restricted by source
+    overlap/count; selection = 'max_both' (reciprocal best) or 'hungarian'
+    (per-block optimal assignment). One round — the reference performs one
+    selection pass per added source; repeated addition = repeated calls.
+    """
+    from ..functions.audio import fingerprint_cosine
+    from ..functions.similarity import cosine_trigram_from_sets, mean_agg_sim
+    from .clustering import ClusterRoundConfig, _merge_matches
+
+    use_audio = "fingerprint" in state.columns and "fingerprint" in arrivals.columns
+    payload = ["members", "sources_mask", "label", "trigram_set", "n_members"]
+    if use_audio:
+        payload.append("fingerprint")
+    tag = lambda df, side: df.withColumn("_side", F.lit(side))  # noqa: E731
+    both = tag(state, 0).unionByName(tag(arrivals, 1), allowMissingColumns=True)
+    from .blocking import block_pairs
+
+    restrict = (
+        (F.col("l._side") != F.col("r._side"))
+        & (F.col("l.sources_mask").bitwiseAND(F.col("r.sources_mask")) == 0)
+        & (
+            F.bit_count(F.col("l.sources_mask")) + F.bit_count(F.col("r.sources_mask"))
+            <= max_sources
+        )
+    )
+    pairs = block_pairs(
+        both,
+        key_col=block_col,
+        id_col="id",
+        restrict=restrict,
+        payload_cols=payload + ["_side"],
+    )
+    sims = [
+        cosine_trigram_from_sets(
+            F.col("src_trigram_set"), F.col("dst_trigram_set")
+        ).alias("sim_text")
+    ]
+    if use_audio:
+        sims.append(
+            fingerprint_cosine(
+                F.col("src_fingerprint"), F.col("dst_fingerprint")
+            ).alias("sim_audio")
+        )
+    sim_cols = [F.col("sim_text")] + ([F.col("sim_audio")] if use_audio else [])
+    scored = (
+        pairs.select("*", *sims)
+        .withColumn("agg_sim", mean_agg_sim(*sim_cols, scale=6))
+        .filter(F.col("agg_sim") >= min_sim)
+    )
+    if selection == "hungarian":
+        chosen = hungarian_selection(
+            scored.select(block_col, "src", "dst", "agg_sim"),
+            block_col=block_col,
+            min_sim=min_sim,
+        )
+        # join payloads back for the merge projection
+        side = both.select("id", block_col, *[F.col(c) for c in payload])
+        chosen = chosen.drop(block_col).join(
+            side.select(
+                F.col("id").alias("src"),
+                F.col(block_col),
+                *[F.col(c).alias(f"src_{c}") for c in payload],
+            ),
+            "src",
+        ).join(
+            side.select(
+                F.col("id").alias("dst"),
+                *[F.col(c).alias(f"dst_{c}") for c in payload],
+            ),
+            "dst",
+        )
+    else:
+        chosen = max_both_selection(scored, sim_col="agg_sim")
+    rcfg = ClusterRoundConfig(
+        min_sim=min_sim, max_sources=max_sources, use_audio=use_audio
+    )
+    merged = _merge_matches(both.drop("_side"), chosen, rcfg)
+    return merged
+
+
 def hungarian_selection(
     pairs: DataFrame,
     block_col: str = "blocking_key",

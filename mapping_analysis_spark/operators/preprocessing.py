@@ -74,6 +74,22 @@ def filter_sim_floor(pairs: DataFrame, floor: float = EDGE_SIM_FLOOR, sim_col: s
     return pairs.filter(F.col(sim_col) > floor)
 
 
+def subgraph_from_ids(
+    vertices: DataFrame, edges: DataFrame, ids: DataFrame, id_col: str = "id"
+) -> tuple[DataFrame, DataFrame]:
+    """Restrict a graph to a vertex-id list (SubGraphFromIds.java — the
+    reference's 80/10/10 split loader): semi-join vertices, then keep edges
+    with both endpoints inside."""
+    v = vertices.join(ids.select(id_col), id_col, "left_semi")
+    e = remove_isolated_edges(edges, v, id_col=id_col)
+    return v, e
+
+
+def source_counts(vertices: DataFrame, source_col: str = "source") -> DataFrame:
+    """Per-source vertex counts (util/Stats.java:39-185)."""
+    return vertices.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_vertices"))
+
+
 def best_link_per_source(
     edges: DataFrame,
     vertices: DataFrame,

@@ -55,7 +55,7 @@ def run_level(cpus: int) -> dict:
         ).alias("h")
     )
     agg = hashed.agg(
-        F.sum("h").alias("s"), F.count("h").alias("n")
+        F.expr("bit_xor(h)").alias("s"), F.count("h").alias("n")
     ).collect()[0]
     elapsed = time.time() - t0
     spark.stop()
