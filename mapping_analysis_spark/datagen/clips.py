@@ -226,14 +226,17 @@ def write_clips_parquet(
     )
 
     def gen(iterator):
+        # yield in ≤32-cluster chunks: one 5s/44.1kHz clip is ~0.6 MB of
+        # PCM, so unbounded chunks would blow Arrow batch limits
         for pdf in iterator:
             for _, row in pdf.iterrows():
-                out = generate_clips_pdf(
-                    int(row.hi - row.lo),
-                    seed=seed,
-                    cluster_offset=int(row.lo),
-                    **kw,
-                )
-                yield out
+                lo, hi = int(row.lo), int(row.hi)
+                for c0 in range(lo, hi, 32):
+                    yield generate_clips_pdf(
+                        min(32, hi - c0),
+                        seed=seed,
+                        cluster_offset=c0,
+                        **kw,
+                    )
 
     rng_df.mapInPandas(gen, schema=schema).write.mode("overwrite").parquet(out_dir)

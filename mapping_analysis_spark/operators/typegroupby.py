@@ -74,6 +74,76 @@ def type_group_by(
     )
 
 
+def hash_cc_by_type_overlap(
+    vertices: DataFrame,
+    id_col: str = "id",
+    cc_col: str = "cc_id",
+    types_col: str = "types",
+) -> DataFrame:
+    """Split each connected component into type-compatible groups
+    (decomposition/typegroupby/HashCcIdOverlappingFunction.java:32-75):
+    within a cc, vertices whose type sets overlap (transitively) share a
+    ``hash_cc``; the group id is a stable hash of (cc, min member id).
+
+    Components are small (bounded by blocking), so the union-find runs
+    locally per component via grouped-map pandas — one shuffle.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("hash_cc", T.LongType(), False),
+        ]
+    )
+
+    def solve(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = list(pdf["id"])
+        typesets = [
+            frozenset(t) if t is not None and len(t) else frozenset()
+            for t in pdf[types_col]
+        ]
+        parent = {i: i for i in range(len(ids))}
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if typesets[i] & typesets[j]:
+                    ri, rj = find(i), find(j)
+                    if ri != rj:
+                        parent[max(ri, rj)] = min(ri, rj)
+        groups: dict[int, list[int]] = {}
+        for i in range(len(ids)):
+            groups.setdefault(find(i), []).append(i)
+        out = []
+        cc = int(pdf[cc_col].iloc[0])
+        for members in groups.values():
+            min_id = min(ids[i] for i in members)
+            # stable group id from (cc, min member) — Utils.getHash analogue
+            import hashlib
+
+            h = int.from_bytes(
+                hashlib.md5(f"{cc}:{min_id}".encode()).digest()[:8],
+                "big",
+                signed=True,
+            )
+            for i in members:
+                out.append({"id": ids[i], "hash_cc": h})
+        return pd.DataFrame(out, columns=["id", "hash_cc"])
+
+    return (
+        vertices.select(id_col, cc_col, types_col)
+        .groupBy(cc_col)
+        .applyInPandas(solve, schema=schema)
+    )
+
+
 def data_corruption_remove_edges(edges: DataFrame, every_nth: int = 10) -> DataFrame:
     """Test-fixture corruption: drop every n-th edge deterministically
     (corruption/EdgeRemoveCorruptionFunction.java:15-32 — the reference

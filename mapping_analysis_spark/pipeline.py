@@ -84,7 +84,10 @@ def prepare(clips: DataFrame, cfg: PipelineConfig | None = None) -> DataFrame:
             "fingerprint",
             mfcc_fingerprint(F.col("bytes"), F.col("codec"), F.col("sr_hz")),
         )
-    return out
+    # the raw audio is consumed entirely by the fingerprint UDF — dropping
+    # it here keeps the persisted/shuffled record ~KB instead of ~MB (at
+    # 10^12 clips the payload must never travel past the scan stage)
+    return out.drop("bytes")
 
 
 def candidate_pairs(prepared: DataFrame, cfg: PipelineConfig | None = None) -> DataFrame:

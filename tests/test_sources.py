@@ -89,3 +89,23 @@ def test_corruption_ops(spark):
     fab = data_corruption_add_edges(v, 10)
     assert fab.count() > 0
     assert fab.filter(F.col("src") == F.col("dst")).count() == 0
+
+
+def test_hash_cc_by_type_overlap(spark):
+    from mapping_analysis_spark.operators.typegroupby import (
+        hash_cc_by_type_overlap,
+    )
+
+    v = spark.createDataFrame(
+        [
+            (1, 5, ["Settlement"]),
+            (2, 5, ["Settlement", "City"]),   # overlaps 1 (Settlement)
+            (3, 5, ["School"]),               # disjoint → own group
+            (9, 6, ["School"]),               # other cc → other group
+        ],
+        "id long, cc_id long, types array<string>",
+    )
+    got = {r.id: r.hash_cc for r in hash_cc_by_type_overlap(v).collect()}
+    assert got[1] == got[2]
+    assert got[3] != got[1]
+    assert got[9] != got[3]  # same min-type but different cc
