@@ -25,12 +25,26 @@ from datetime import datetime, timedelta, timezone
 import numpy as np
 import pandas as pd
 
-_ARTISTS = [
-    "the beatles", "miles davis", "nina simone", "daniel balavoine",
-    "fairuz", "bjork", "caetano veloso", "johann sebastian bach",
-    "aretha franklin", "kraftwerk", "umm kulthum", "leonard cohen",
-    "ella fitzgerald", "serge gainsbourg", "mercedes sosa", "talking heads",
+_FIRST = [
+    "the beatles", "miles", "nina", "daniel", "fairuz", "bjork", "caetano",
+    "johann", "aretha", "kraftwerk", "umm", "leonard", "ella", "serge",
+    "mercedes", "talking", "duke", "billie", "oumou", "ravi", "astor",
+    "cesaria", "fela", "goran", "hildegard", "janis", "khaled", "lata",
+    "mariza", "nusrat", "orlando", "patsy",
 ]
+_LAST = [
+    "davis", "simone", "balavoine", "veloso", "bach", "franklin",
+    "kulthum", "cohen", "fitzgerald", "gainsbourg", "sosa", "heads",
+    "ellington", "holiday", "sangare", "shankar", "piazzolla", "evora",
+    "kuti", "bregovic", "bingen", "joplin", "hadj", "mangeshkar",
+    "nunes", "khan", "cachaito", "cline", "bembeya", "toure", "segovia",
+    "baez",
+]
+# 32×32 = 1024 distinct artists: keeps the blocking-key cardinality
+# realistic (the 16-artist v0 vocabulary made 4-char prefix blocks
+# degenerate-quadratic at ≥10^4 clips, which benchmarks the corpus, not
+# the engine)
+_ARTISTS = [f"{a} {b}" for a in _FIRST for b in _LAST]
 _TITLE_WORDS = [
     "love", "night", "river", "dance", "blue", "light", "heart", "dream",
     "road", "fire", "rain", "golden", "silent", "echo", "shadow", "wild",

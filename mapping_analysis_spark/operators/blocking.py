@@ -215,12 +215,18 @@ def lsh_pairs(
     rows_per_band: int = 2,
     seed: int = 42,
     restrict: Column | None = None,
+    max_bucket: int = 256,
 ) -> DataFrame:
     """LSH_BLOCKING (lsh/utils/LshComputation.java:30-75): signature →
     band keys → explode → per-band-key self-join i<j → distinct pairs.
 
     Default 15 bands mirrors the reference's 15 hash families
-    (LshCandidateCreator.java:23-29). Returns canonical (src, dst).
+    (LshCandidateCreator.java:23-29). Band buckets larger than
+    ``max_bucket`` are dropped — they come from low-information signatures
+    (near-constant trigram profiles) and would go quadratic; the reference
+    prunes the same way by dropping frequent bits
+    (lsh/utils/BitFrequencyCounter.java:31-49). Returns canonical
+    (src, dst).
     """
     sig = df.select(
         F.col(id_col),
@@ -229,6 +235,15 @@ def lsh_pairs(
     banded = sig.select(
         id_col, F.explode(lsh_band_keys(F.col("_sig"), bands, rows_per_band)).alias("_band")
     )
+    if max_bucket:
+        bucket_sizes = banded.groupBy("_band").agg(
+            F.count(F.lit(1)).alias("_bn")
+        )
+        banded = (
+            banded.join(
+                bucket_sizes.filter(F.col("_bn") <= max_bucket), "_band", "left_semi"
+            )
+        )
     left = banded.alias("l")
     right = banded.alias("r")
     cond = (F.col("l._band") == F.col("r._band")) & (

@@ -40,9 +40,13 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # audio `bytes` rows are ~0.1-0.6 MB: the default 4096-row columnar
+        # batch would hold GBs per task on a binary-payload scan — size the
+        # batch for the payload, not the row count
+        .config("spark.sql.parquet.columnarReaderBatchSize", "256")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
