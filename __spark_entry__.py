@@ -165,6 +165,7 @@ def q_trigram_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         cosine_trigram_from_sets,
         trigram_set,
     )
+    from mapping_analysis_spark.operators.blocking import salted_block_pairs
     from mapping_analysis_spark.operators.dedup import normalize_text
 
     docs = _t(spark, sf_dir, "documents")
@@ -173,13 +174,22 @@ def q_trigram_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(normalize_text(F.col("text")), 1, 8).alias("_k"),
         trigram_set(F.col("text")).alias("_tg"),
     )
-    l, r = base.alias("l"), base.alias("r")
+    # salted id-only pair enumeration (hot prefixes split across cells;
+    # trigram arrays join back per side) — same pair set as the naive
+    # block self-join, proven by the exact oracle
+    pairs = salted_block_pairs(
+        base.select("_id", "_k"), key_col="_k", id_col="_id", max_block_rows=256
+    ).select("src", "dst")
+    tg = base.select("_id", "_tg")
     return (
-        l.join(r, (F.col("l._k") == F.col("r._k")) & (F.col("l._id") < F.col("r._id")))
+        pairs.join(
+            tg.select(F.col("_id").alias("src"), F.col("_tg").alias("_tg_l")), "src"
+        )
+        .join(tg.select(F.col("_id").alias("dst"), F.col("_tg").alias("_tg_r")), "dst")
         .select(
-            F.col("l._id").alias("src"),
-            F.col("r._id").alias("dst"),
-            cosine_trigram_from_sets(F.col("l._tg"), F.col("r._tg")).alias("ct_sim"),
+            "src",
+            "dst",
+            cosine_trigram_from_sets(F.col("_tg_l"), F.col("_tg_r")).alias("ct_sim"),
         )
         .filter(F.col("ct_sim") >= 0.5)
     )
@@ -297,6 +307,48 @@ def q_geo_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s_lat"), F.col("s_lon"), F.col("c_lat"), F.col("c_lon")
         ).alias("gsim"),
     ).filter(F.col("gsim").isNotNull() & (F.col("gsim") > 0))
+
+
+# raw (pre-normalization) type strings exercised by q_type_sim: covers
+# direct overlap, shading pairs, the untyped vote-abstention, and the
+# PRIMARY_TYPE dictionary lookup
+_RAW_TYPES = (
+    "http://dbpedia.org/ontology/Settlement",
+    "http://dbpedia.org/ontology/Town",
+    "http://dbpedia.org/ontology/Country",
+    "http://dbpedia.org/ontology/AdministrativeRegion",
+    "http://dbpedia.org/ontology/Mountain",
+    "island",
+    "http://dbpedia.org/ontology/School",
+    "http://dbpedia.org/ontology/ArchitecturalStructure",
+    "no_type",
+    "lake",
+)
+
+
+def q_type_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type similarity with TYPE_SHADINGS (Utils.getTypeSim, Utils.java:
+    636-667; TypeDictionary.java:266-273) after PRIMARY_TYPE normalization,
+    on synthetic type sets over consecutive documents."""
+    from mapping_analysis_spark.functions.types import normalize_types, type_sim
+
+    docs = _t(spark, sf_dir, "documents")
+    tl = F.array(*[F.lit(x) for x in _RAW_TYPES])
+    d = docs.select(
+        "doc_id",
+        normalize_types(
+            F.array(
+                F.element_at(tl, (F.col("doc_id") % 10 + 1).cast("int")),
+                F.element_at(tl, (F.col("doc_id") * 3 % 10 + 1).cast("int")),
+            )
+        ).alias("types"),
+    )
+    l, r = d.alias("l"), d.alias("r")
+    return l.join(r, F.col("r.doc_id") == F.col("l.doc_id") + 1).select(
+        F.col("l.doc_id").alias("src"),
+        F.col("r.doc_id").alias("dst"),
+        type_sim(F.col("l.types"), F.col("r.types")).alias("tsim"),
+    )
 
 
 def q_year_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -463,27 +515,83 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (threshold 0.4)."""
+    """Embedding-cosine near-duplicate pairs (threshold 0.4) through the
+    DEFAULT hyperplane-bucketed plan — the oracle replicates the identical
+    seeded bucketing in SQL, so the bucketed candidate set itself is
+    verified (not just sampled)."""
     from mapping_analysis_spark.operators.dedup import embedding_near_dup_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(emb, threshold=0.4).select(
+    return embedding_near_dup_pairs(emb, threshold=0.4, dim=64).select(
         "src", "dst", F.round("cosine", 6).alias("cosine")
     )
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-k (rows-only: approximate by design;
-    correctness of the exact path is covered by q_embedding_topk)."""
+    """LSH-bucketed approximate top-k. The oracle replicates the identical
+    seeded hyperplane buckets + multi-probe set in SQL, so the approximate
+    result is exactly reproducible (recall-vs-exact is asserted in
+    pytest)."""
     from mapping_analysis_spark.operators.similarity_search import ann_topk
 
     emb = _t(spark, sf_dir, "embeddings")
-    dim = len(emb.select("embedding").first()[0])
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     corpus = emb.filter(F.col("vec_id") >= 5)
-    return ann_topk(corpus, queries, dim=dim, k=10, multi_probe=2)
+    return ann_topk(corpus, queries, dim=64, k=10, multi_probe=2).select(
+        "query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+def geo_points_from_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic settlement-style corpus derived from the documents
+    table: 4 duplicate-free sources per entity, per-source label
+    corruption, coordinate jitter, shared types (with a no_type slice) —
+    the geo twin of the clips corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    e_count = max(1, (n + 3) // 4)
+    ent = F.col("doc_id") % e_count
+    src = (F.col("doc_id") / e_count).cast("int")
+    hexname = F.substring(F.md5(ent.cast("string")), 1, 6)
+    base = F.concat(hexname, F.lit(" settlement"))
+    label = (
+        F.when(src == 1, F.substring(base, 1, 14))
+        .when(src == 2, F.concat(base, F.lit(" city")))
+        .otherwise(base)
+    )
+    lat_base = (F.conv(F.substring(F.md5(ent.cast("string")), 7, 6), 16, 10)
+                .cast("long") % 160 - 80).cast("double")
+    lon_base = (F.conv(F.substring(F.md5(ent.cast("string")), 13, 6), 16, 10)
+                .cast("long") % 360 - 180).cast("double")
+    types_pool = F.array(
+        *[F.lit(x) for x in _RAW_TYPES if x != "no_type"]
+    )
+    types = F.when(ent % 10 == 9, F.array(F.lit("no_type"))).otherwise(
+        F.array(F.element_at(types_pool, (ent % 9 + 1).cast("int")))
+    )
+    return docs.select(
+        F.col("doc_id").alias("id"),
+        label.alias("label"),
+        (lat_base + src * 0.0005).alias("lat"),
+        (lon_base + src * 0.0005).alias("lon"),
+        types.alias("types"),
+        F.concat(F.lit("geo-src-"), src.cast("string")).alias("source"),
+        ent.alias("gold_entity"),
+    )
+
+
+def q_geo_er(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geo ER end-to-end (label ct + haversine geo sim + type sim with
+    shadings, type-overlap restriction, priority coord fusion — the
+    reference's settlement pipeline, MergeGeoTripletCreator.java:55-115 +
+    DualMergeGeographyMapper.java:41-90). Rows-only: iterative merge."""
+    from mapping_analysis_spark.operators.geo import GeoConfig, run_geo_batch
+
+    points = geo_points_from_docs(spark, sf_dir).drop("gold_entity")
+    clusters = run_geo_batch(points, GeoConfig(min_sim=0.7, max_sources=8))
+    return clusters.select("id", "n_members", "sources_mask", "label")
 
 
 def q_er_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -520,6 +628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "max_both": q_max_both,
         "best_link": q_best_link,
         "geo_sim": q_geo_sim,
+        "type_sim": q_type_sim,
         "year_sim": q_year_sim,
         "majority_fusion": q_majority_fusion,
         "tumbling_window": q_tumbling_window,
@@ -533,6 +642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "ann_topk": q_ann_topk,
         "er_documents": q_er_documents,
+        "geo_er": q_geo_er,
     }
 
 
@@ -554,6 +664,39 @@ def _padded_trigrams(expr: str) -> str:
         f"list_distinct(list_transform(range(1, length({s}) - 1),"
         f" i -> ({s})[i:i+2]))"
     )
+
+
+def _cosine_sql(a: str, b: str, dim: int = 64) -> str:
+    """Bit-exact SQL replica of dedup.embedding_cosine: widen-then-multiply
+    per term (exact in double), sequential sum, dot/(|a|·|b|)."""
+    dot = (
+        f"list_sum(list_transform(range(1, {dim + 1}),"
+        f" i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))"
+    )
+    na = f"sqrt(list_sum(list_transform({a}, x -> x::DOUBLE * x::DOUBLE)))"
+    nb = f"sqrt(list_sum(list_transform({b}, x -> x::DOUBLE * x::DOUBLE)))"
+    return f"({dot} / ({na} * {nb}))"
+
+
+def _hyperplane_bucket_sql(
+    dim: int = 64, n_planes: int = 8, seed: int = 42, vec: str = "embedding"
+) -> str:
+    """The EXACT same seeded hyperplane bucket id the Spark plan computes
+    (similarity_search.random_hyperplane_buckets): sign pattern of the dot
+    products against plan-literal planes. Plane values are emitted with
+    repr() (shortest round-trip), so both engines parse the identical
+    doubles; float×double promotion is exact on both sides."""
+    from mapping_analysis_spark.operators.similarity_search import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes, seed)
+    terms = []
+    for i, p in enumerate(planes):
+        lits = ",".join(repr(float(x)) for x in p)
+        terms.append(
+            f"(case when list_dot_product({vec}::DOUBLE[], [{lits}]::DOUBLE[])"
+            f" >= 0 then {1 << i} else 0 end)"
+        )
+    return " + ".join(terms)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -795,6 +938,42 @@ def oracle_sql() -> dict[str, str]:
                     else round(1.0 - d / 150000.0, 6) end) > 0
     """
 
+    from mapping_analysis_spark.functions.types import PRIMARY_TYPE, TYPE_SHADINGS
+
+    raw_lits = ",".join(f"'{t}'" for t in _RAW_TYPES)
+    prim_when = " ".join(
+        f"when '{k}' then '{v}'" for k, v in PRIMARY_TYPE.items()
+        if k in _RAW_TYPES
+    )
+    shade_when = " ".join(f"when '{k}' then '{v}'" for k, v in TYPE_SHADINGS.items())
+
+    def _prim(e: str) -> str:
+        return f"(case {e} {prim_when} else {e} end)"
+
+    def _shade(arr: str) -> str:
+        return (
+            f"list_filter(list_transform({arr},"
+            f" t -> case t {shade_when} else NULL end), s -> s is not null)"
+        )
+
+    sqls["type_sim"] = f"""
+        with d as (
+          select doc_id, list_distinct([
+            {_prim(f"([{raw_lits}])[(doc_id % 10)::INT + 1]")},
+            {_prim(f"([{raw_lits}])[((doc_id * 3) % 10)::INT + 1]")}
+          ]) as types
+          from documents)
+        select a.doc_id as src, b.doc_id as dst,
+               case when list_contains(a.types, 'no_type')
+                      or list_contains(b.types, 'no_type') then NULL
+                    when len(list_intersect(a.types, b.types)) > 0 then 1.0
+                    when len(list_intersect({_shade('a.types')}, b.types)) > 0
+                      or len(list_intersect(a.types, {_shade('b.types')})) > 0
+                      then 1.0
+                    else 0.0 end as tsim
+        from d a join d b on b.doc_id = a.doc_id + 1
+    """
+
     sqls["year_sim"] = """
         with t as (
           select o_custkey, o_orderkey, year(o_orderdate) as y,
@@ -888,14 +1067,13 @@ def oracle_sql() -> dict[str, str]:
         group by l_returnflag, l_linestatus
     """
 
-    sqls["embedding_topk"] = """
+    sqls["embedding_topk"] = f"""
         with q as (select vec_id as query_id, embedding from embeddings
                    where vec_id < 5),
         c as (select vec_id, embedding from embeddings where vec_id >= 5),
         scored as (
           select q.query_id, c.vec_id,
-                 list_cosine_similarity(
-                   q.embedding::DOUBLE[], c.embedding::DOUBLE[]) as cosine_raw
+                 {_cosine_sql('q.embedding', 'c.embedding')} as cosine_raw
           from c cross join q),
         r as (
           select query_id, vec_id, cosine_raw,
@@ -906,13 +1084,79 @@ def oracle_sql() -> dict[str, str]:
         from r where rank <= 10
     """
 
-    sqls["embedding_near_dup"] = """
-        select src, dst, round(cosine_raw, 6) as cosine from (
-          select a.vec_id as src, b.vec_id as dst,
-                 list_cosine_similarity(
-                   a.embedding::DOUBLE[], b.embedding::DOUBLE[]) as cosine_raw
-          from embeddings a join embeddings b on a.vec_id < b.vec_id)
+    bk = _hyperplane_bucket_sql()
+    band_keys = ", ".join(
+        f"'{t}:' || ({_hyperplane_bucket_sql(seed=42 + t)})::VARCHAR"
+        for t in range(8)
+    )
+    sqls["embedding_near_dup"] = f"""
+        with keys as (
+          select vec_id, unnest([{band_keys}]) as bk from embeddings),
+        cand as (
+          select distinct a.vec_id as src, c.vec_id as dst
+          from keys a join keys c on a.bk = c.bk and a.vec_id < c.vec_id),
+        v as (
+          select cand.src, cand.dst,
+                 {_cosine_sql('e1.embedding', 'e2.embedding')} as cosine_raw
+          from cand
+          join embeddings e1 on e1.vec_id = cand.src
+          join embeddings e2 on e2.vec_id = cand.dst)
+        select src, dst, round(cosine_raw, 6) as cosine from v
         where cosine_raw >= 0.4
+    """
+
+    sqls["ann_topk"] = f"""
+        with b as (select vec_id, embedding, {bk} as bk from embeddings),
+        q as (select vec_id as query_id, embedding as qe, bk as b0
+              from b where vec_id < 5),
+        qp as (select query_id, qe,
+                      unnest([b0, xor(b0, 1), xor(b0, 2)]) as bk from q),
+        c as (select vec_id, embedding, bk from b where vec_id >= 5),
+        scored as (
+          select distinct query_id, c.vec_id,
+                 {_cosine_sql('qe', 'c.embedding')} as cosine_raw
+          from c join qp on c.bk = qp.bk),
+        r as (select query_id, vec_id, cosine_raw,
+                     row_number() over (partition by query_id
+                       order by cosine_raw desc, vec_id asc) as rank
+              from scored)
+        select query_id, vec_id, round(cosine_raw, 6) as cosine, rank
+        from r where rank <= 10
+    """
+
+    # simhash: md5-based 60-bit token hash is bit-identical in both engines
+    sqls["simhash_pairs"] = f"""
+        with tok as (
+          select doc_id, unnest({_WORDS}) as w from documents),
+        h as (
+          select doc_id,
+                 ('0x' || substring(md5(w), 1, 15))::BIGINT as hv from tok),
+        votes as (
+          select doc_id, bb.b as b,
+                 sum(case when (hv >> bb.b) & 1 = 1 then 1 else -1 end) as v
+          from h cross join (select unnest(range(0, 60)) as b) bb
+          group by doc_id, bb.b),
+        fp as (
+          select doc_id,
+                 sum(case when v > 0 then (1::BIGINT << b) else 0 end)::BIGINT
+                 as sh
+          from votes group by doc_id),
+        banded as (
+          select doc_id, sh, cc.c as chunk_id,
+                 (sh >> (cc.c * 16)) & 65535 as chunk
+          from fp cross join (select unnest(range(0, 4)) as c) cc),
+        cand as (
+          select distinct a.doc_id as src, b.doc_id as dst
+          from banded a join banded b
+            on a.chunk_id = b.chunk_id and a.chunk = b.chunk
+               and a.doc_id < b.doc_id)
+        select src, dst, hamming from (
+          select c.src, c.dst,
+                 bit_count(xor(f1.sh, f2.sh))::INTEGER as hamming
+          from cand c
+          join fp f1 on f1.doc_id = c.src
+          join fp f2 on f2.doc_id = c.dst)
+        where hamming <= 3
     """
 
     return sqls

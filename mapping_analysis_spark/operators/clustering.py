@@ -275,6 +275,7 @@ def merge_components(clusters: DataFrame, cfg: ClusterRoundConfig) -> DataFrame:
         _INSANE,
         cosine_vec_local,
         mean_agg_local,
+        round_half_up,
         simplify_local,
         trigram_set_local,
     )
@@ -311,7 +312,7 @@ def merge_components(clusters: DataFrame, cfg: ClusterRoundConfig) -> DataFrame:
             st = 0.0
         else:
             inter = len(sa_ & sb_)
-            st = round(inter / math.sqrt(len(sa_) * len(sb_)), 6)
+            st = round_half_up(inter / math.sqrt(len(sa_) * len(sb_)), 6)
         if not use_audio:
             return st
         au = cosine_vec_local(a.get("fingerprint"), b.get("fingerprint"))
@@ -444,7 +445,10 @@ def distributed_merge_rounds(
 
     cfg = cfg or ClusterRoundConfig()
     clusters = materialize(state)
-    # rounds below re-pair within the given blocking_key groups
+    # round 0 may union LSH candidates per the caller's config; rounds ≥ 1
+    # re-pair within blocking_key groups only (the workset), so the override
+    # below disables LSH there while `lsh_round0` keeps the caller's intent
+    lsh_round0 = cfg.use_lsh_round0
     cfg = ClusterRoundConfig(**{**cfg.__dict__, "use_lsh_round0": False})
     # Work-set pruning: any block holding a pair ≥ min_sim always yields at
     # least one reciprocal-best match (the block's global max pair is
@@ -455,7 +459,7 @@ def distributed_merge_rounds(
     finished: list = []
     for rnd in range(cfg.max_rounds):
         extra = None
-        if rnd == 0 and cfg.use_lsh_round0:
+        if rnd == 0 and lsh_round0:
             from .blocking import lsh_pairs
 
             extra = lsh_pairs(

@@ -81,24 +81,37 @@ def minhash_lsh_candidates(
     bands: int = 16,
     rows_per_band: int = 4,
     seed: int = 42,
+    max_bucket: int = 256,
 ) -> DataFrame:
     """Candidate pairs from MinHash banding over word shingles.
 
     (src, dst, jaccard) with src < dst; jaccard computed exactly on the
     shingle sets of surviving candidates (the verify step — LSH only
-    prunes). One explode + one equi-self-join on the band key."""
+    prunes).
+
+    Scale shape: the band self-join carries IDS ONLY — the shingle arrays
+    never ride through the ×bands explode or the shuffle; they are joined
+    back onto the deduplicated candidate set for the verify step. Band
+    buckets larger than ``max_bucket`` are dropped before the self-join
+    (degenerate near-constant signatures would go quadratic; a true
+    near-dup pair collides in ~every band, so it still surfaces through a
+    non-degenerate one — same pruning as blocking.lsh_pairs)."""
     sh = df.select(
         F.col(id_col).alias("_id"),
         word_shingles(F.col(text_col), shingle_n).alias("_sh"),
     ).filter(F.size("_sh") > 0)
     sig = sh.select(
         "_id",
-        "_sh",
         minhash_signature(F.col("_sh"), bands * rows_per_band, seed).alias("_sig"),
     )
     banded = sig.select(
-        "_id", "_sh", F.explode(lsh_band_keys(F.col("_sig"), bands, rows_per_band)).alias("_band")
+        "_id", F.explode(lsh_band_keys(F.col("_sig"), bands, rows_per_band)).alias("_band")
     )
+    if max_bucket:
+        bucket_sizes = banded.groupBy("_band").agg(F.count(F.lit(1)).alias("_bn"))
+        banded = banded.join(
+            bucket_sizes.filter(F.col("_bn") <= max_bucket), "_band", "left_semi"
+        )
     l, r = banded.alias("l"), banded.alias("r")
     cand = (
         l.join(
@@ -106,15 +119,13 @@ def minhash_lsh_candidates(
             (F.col("l._band") == F.col("r._band"))
             & (F.col("l._id") < F.col("r._id")),
         )
-        .select(
-            F.col("l._id").alias("src"),
-            F.col("r._id").alias("dst"),
-            F.col("l._sh").alias("_sh_l"),
-            F.col("r._sh").alias("_sh_r"),
-        )
+        .select(F.col("l._id").alias("src"), F.col("r._id").alias("dst"))
         .dropDuplicates(["src", "dst"])
     )
-    return cand.select(
+    verified = cand.join(
+        sh.select(F.col("_id").alias("src"), F.col("_sh").alias("_sh_l")), "src"
+    ).join(sh.select(F.col("_id").alias("dst"), F.col("_sh").alias("_sh_r")), "dst")
+    return verified.select(
         "src", "dst", jaccard_from_sets(F.col("_sh_l"), F.col("_sh_r")).alias("jaccard")
     )
 
@@ -145,8 +156,15 @@ def minhash_lsh_dedup(
 
 
 def simhash64(col: Column) -> Column:
-    """64-bit SimHash over whitespace tokens — per-bit majority vote of
-    token xxhash64 values, fully native (no Python).
+    """SimHash over whitespace tokens — per-bit majority vote of token
+    hashes, fully native (no Python).
+
+    The token hash is the first 15 hex chars of md5 as a 60-bit integer
+    (``conv(substring(md5(w),1,15),16,10)``): md5 is computable identically
+    in DuckDB (``('0x' || substring(md5(w),1,15))::BIGINT``), which makes
+    the whole fingerprint — and the banded candidate set — exactly
+    oracle-checkable. Bits 60-63 of the fingerprint are always 0 (the hash
+    never sets them, so their majority vote is negative).
 
     One pass over the token array: a vector of 64 vote counters is folded
     (zip_with inside aggregate), then votes > 0 select the bit masks and a
@@ -154,7 +172,10 @@ def simhash64(col: Column) -> Column:
     codegen, partial-aggregation-friendly upstream.
     """
     tokens = F.filter(F.split(F.lower(col), r"\s+"), lambda w: w != "")
-    hashes = F.transform(tokens, lambda w: F.xxhash64(w))
+    hashes = F.transform(
+        tokens,
+        lambda w: F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long"),
+    )
     masks = F.array(
         *[F.shiftleft(F.lit(1).cast("long"), b) for b in range(64)]
     )
@@ -189,10 +210,14 @@ def simhash_candidates(
     """Near-dup candidates within Hamming ≤ max_hamming via chunk banding:
     split the 64-bit simhash into ``chunks`` pieces; any pair within
     Hamming ≤ chunks−1 shares ≥1 identical chunk (pigeonhole). Returns
-    (src, dst, hamming) verified exactly."""
+    (src, dst, hamming) verified exactly. Token-less documents are excluded
+    (their fingerprint would be the degenerate all-zero value and every
+    such pair would collide at Hamming 0)."""
     width = 64 // chunks
-    sh = df.select(
-        F.col(id_col).alias("_id"), simhash64(F.col(text_col)).alias("_sh")
+    tokens = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != "")
+    sh = (
+        df.filter(F.size(tokens) > 0)
+        .select(F.col(id_col).alias("_id"), simhash64(F.col(text_col)).alias("_sh"))
     )
     parts = []
     for i in range(chunks):
@@ -235,10 +260,20 @@ def ngram_jaccard_pairs(
     key_col: str | None = None,
     n: int = 3,
     threshold: float = 0.5,
+    max_block_rows: int = 256,
 ) -> DataFrame:
     """Word n-gram Jaccard over blocked pairs. ``key_col`` defaults to a
     cheap prefix block (first 8 chars of normalized text) — swap in any
-    blocking column. Returns (src, dst, jaccard ≥ threshold)."""
+    blocking column. Returns (src, dst, jaccard ≥ threshold).
+
+    Pair enumeration goes through ``salted_block_pairs`` on IDS ONLY: a hot
+    prefix ("the ", boilerplate headers) is split into salt cells instead
+    of landing on one task, and the shingle arrays never ride through the
+    pair shuffle — they are joined back per side for the verify step.
+    Salting changes the physical plan only; the pair set is identical
+    (exact-once triangle enumeration)."""
+    from .blocking import salted_block_pairs
+
     key = (
         F.col(key_col)
         if key_col
@@ -249,30 +284,50 @@ def ngram_jaccard_pairs(
         key.alias("_k"),
         word_shingles(F.col(text_col), n).alias("_sh"),
     )
-    l, r = base.alias("l"), base.alias("r")
+    pairs = salted_block_pairs(
+        base.select("_id", "_k"),
+        key_col="_k",
+        id_col="_id",
+        max_block_rows=max_block_rows,
+    ).select("src", "dst")
+    sh = base.select("_id", "_sh")
     return (
-        l.join(
-            r,
-            (F.col("l._k") == F.col("r._k")) & (F.col("l._id") < F.col("r._id")),
+        pairs.join(
+            sh.select(F.col("_id").alias("src"), F.col("_sh").alias("_sh_l")), "src"
         )
+        .join(sh.select(F.col("_id").alias("dst"), F.col("_sh").alias("_sh_r")), "dst")
         .select(
-            F.col("l._id").alias("src"),
-            F.col("r._id").alias("dst"),
-            jaccard_from_sets(F.col("l._sh"), F.col("r._sh")).alias("jaccard"),
+            "src",
+            "dst",
+            jaccard_from_sets(F.col("_sh_l"), F.col("_sh_r")).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )
 
 
 def embedding_cosine(left: Column, right: Column) -> Column:
-    """Cosine over two array<float> embedding columns — native zip_with."""
+    """Cosine over two array<float> embedding columns — native zip_with.
+
+    Operands are widened to double BEFORE multiplying: the product of two
+    floats is exact in double (24+24 < 53 mantissa bits), so the per-term
+    values — and with sequential accumulation the whole cosine — are
+    bit-identical to any engine that does the same (the DuckDB oracles
+    compute this exact formula)."""
     dot = F.aggregate(
-        F.zip_with(left, right, lambda a, b: (a * b).cast("double")),
+        F.zip_with(left, right, lambda a, b: a.cast("double") * b.cast("double")),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    nl = F.sqrt(F.aggregate(left, F.lit(0.0), lambda a, x: a + (x * x).cast("double")))
-    nr = F.sqrt(F.aggregate(right, F.lit(0.0), lambda a, x: a + (x * x).cast("double")))
+    nl = F.sqrt(
+        F.aggregate(
+            left, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")
+        )
+    )
+    nr = F.sqrt(
+        F.aggregate(
+            right, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")
+        )
+    )
     return F.when((nl > 0) & (nr > 0), dot / (nl * nr))
 
 
@@ -282,25 +337,65 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     threshold: float = 0.95,
     bucket_col: Column | None = None,
+    dim: int | None = None,
+    n_planes: int = 8,
+    tables: int = 8,
+    seed: int = 42,
+    exact: bool = False,
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs. Default is the exact all-pairs
-    within a hash bucket (pass ``bucket_col``); with no bucket it is the
-    full O(n²) self-join — correct at test scale, use the LSH-bucketed
-    variant (similarity_search.random_hyperplane_buckets) at corpus scale.
+    """Embedding-cosine near-dup pairs within LSH buckets.
+
+    DEFAULT is the scale path: banded random-hyperplane LSH
+    (similarity_search.hyperplane_band_buckets — ``tables`` independent
+    sign-bucket tables, plan-literal planes, deterministic across
+    parallelism levels). Ids-only ride the ×tables explode and the bucket
+    self-join; the vectors are joined back onto the deduplicated candidate
+    set for the exact-cosine verify. At 100 TB per-task work is |bucket|²,
+    never |corpus|², and recall is the OR-banding 1−(1−pᵏ)ᴸ.
+
+    ``bucket_col`` overrides the bucketing with a single caller-supplied
+    bucket expression; ``exact=True`` selects the all-pairs O(n²)
+    self-join — the recall oracle for tests, NOT a production path.
     """
     base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-    if bucket_col is not None:
-        base = base.withColumn("_bk", bucket_col)
-        cond = (F.col("l._bk") == F.col("r._bk")) & (F.col("l._id") < F.col("r._id"))
-    else:
-        cond = F.col("l._id") < F.col("r._id")
-    l, r = base.alias("l"), base.alias("r")
-    return (
-        l.join(r, cond)
-        .select(
-            F.col("l._id").alias("src"),
-            F.col("r._id").alias("dst"),
-            embedding_cosine(F.col("l._v"), F.col("r._v")).alias("cosine"),
+    if exact or bucket_col is not None:
+        if bucket_col is not None:
+            base = base.withColumn("_bk", bucket_col)
+            cond = (F.col("l._bk") == F.col("r._bk")) & (
+                F.col("l._id") < F.col("r._id")
+            )
+        else:
+            cond = F.col("l._id") < F.col("r._id")
+        l, r = base.alias("l"), base.alias("r")
+        return (
+            l.join(r, cond)
+            .select(
+                F.col("l._id").alias("src"),
+                F.col("r._id").alias("dst"),
+                embedding_cosine(F.col("l._v"), F.col("r._v")).alias("cosine"),
+            )
+            .filter(F.col("cosine") >= threshold)
         )
-        .filter(F.col("cosine") >= threshold)
+    from .similarity_search import hyperplane_band_buckets
+
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    keys = hyperplane_band_buckets(F.col("_v"), dim, tables, n_planes, seed)
+    banded = base.select("_id", F.explode(keys).alias("_bk"))
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l._bk") == F.col("r._bk")) & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(F.col("l._id").alias("src"), F.col("r._id").alias("dst"))
+        .dropDuplicates(["src", "dst"])
     )
+    verified = cand.join(
+        base.select(F.col("_id").alias("src"), F.col("_v").alias("_v_l")), "src"
+    ).join(base.select(F.col("_id").alias("dst"), F.col("_v").alias("_v_r")), "dst")
+    return verified.select(
+        "src",
+        "dst",
+        embedding_cosine(F.col("_v_l"), F.col("_v_r")).alias("cosine"),
+    ).filter(F.col("cosine") >= threshold)

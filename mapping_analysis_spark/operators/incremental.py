@@ -201,10 +201,30 @@ def source_addition_clustering(
         .filter(F.col("agg_sim") >= min_sim)
     )
     if selection == "hungarian":
+        # Re-orient by the carried _side payload: rows = state clusters,
+        # cols = arrivals. block_pairs canonicalizes by id (src < dst), so
+        # without this a single entity could appear as both a row and a
+        # column inside one cost matrix and be assigned twice — the
+        # reference's HungarianAlgorithmReduceFunction operates on oriented
+        # (existing-cluster, new-entity) triplets, keeping sides disjoint.
+        flip = F.col("src__side") > F.col("dst__side")
+        oriented = scored.select(
+            F.col(block_col),
+            F.when(flip, F.col("dst")).otherwise(F.col("src")).alias("src"),
+            F.when(flip, F.col("src")).otherwise(F.col("dst")).alias("dst"),
+            F.col("agg_sim"),
+        )
         chosen = hungarian_selection(
-            scored.select(block_col, "src", "dst", "agg_sim"),
+            oriented,
             block_col=block_col,
             min_sim=min_sim,
+        )
+        # back to canonical src < dst: the merge keeps the min id
+        # (DualMergeMusicMapper semantics)
+        chosen = chosen.select(
+            F.least(F.col("src"), F.col("dst")).alias("src"),
+            F.greatest(F.col("src"), F.col("dst")).alias("dst"),
+            "agg_sim",
         )
         # join payloads back for the merge projection
         side = both.select("id", block_col, *[F.col(c) for c in payload])

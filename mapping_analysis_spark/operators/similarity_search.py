@@ -80,6 +80,25 @@ def random_hyperplane_buckets(
     return bucket
 
 
+def hyperplane_band_buckets(
+    vec_col: Column,
+    dim: int,
+    tables: int = 4,
+    planes_per_table: int = 8,
+    seed: int = 42,
+) -> Column:
+    """Banded hyperplane LSH keys: ``tables`` independent hash tables, each
+    a ``planes_per_table``-plane sign bucket (seed offset per table), as an
+    array of "t:bucket" string keys. A pair collides if it matches in ANY
+    table — recall 1−(1−pᵏ)ᴸ vs pᵏ for a single table (p = 1−θ/π), the
+    same OR-banding trade minhash banding makes for Jaccard."""
+    keys = []
+    for t in range(tables):
+        b = random_hyperplane_buckets(vec_col, dim, planes_per_table, seed + t)
+        keys.append(F.concat_ws(":", F.lit(str(t)), b.cast("string")))
+    return F.array(*keys)
+
+
 def ann_topk(
     corpus: DataFrame,
     queries: DataFrame,

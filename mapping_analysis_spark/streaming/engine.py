@@ -173,7 +173,8 @@ class StreamingERJob:
                 F.unix_timestamp("event_time") >= F.lit(threshold)
             )
             n_late = n_in - on_time.count()
-        new_max = max(v for v in (prev_max, batch_max) if v is not None)
+        candidates = [v for v in (prev_max, batch_max) if v is not None]
+        new_max = max(candidates) if candidates else None
 
         # ---- prepare arrivals, load state of AFFECTED clusters only:
         # same prefix blocking key OR any shared LSH band key (so a new
@@ -234,7 +235,8 @@ class StreamingERJob:
 
         # ---- state commit + watermark + lineage
         self._save_state(new_state, batch_id)
-        self._save_max_event_time(new_max)
+        if new_max is not None:
+            self._save_max_event_time(new_max)
         n_clusters = new_state.count()
         lineage_path = os.path.join(cfg.lineage_dir, f"batch_id={batch_id}")
         if os.path.exists(lineage_path):
