@@ -64,6 +64,9 @@ def main() -> None:
     bench_queries = [
         "trigram_cosine_pairs",
         "minhash_lsh_pairs",
+        "simhash_pairs",
+        "embedding_near_dup",
+        "geo_er",
         "exact_dedup",
         "token_stats",
         "quality_score",

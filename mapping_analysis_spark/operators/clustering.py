@@ -37,7 +37,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.audio import fingerprint_cosine
@@ -60,7 +60,11 @@ class ClusterRoundConfig:
     # round-0 LSH candidate union: catches pairs whose prefix blocking keys
     # diverged (typo in the first chars, dropped first token — the recall
     # gap of pure prefix blocking; the reference offers LSH_BLOCKING as an
-    # alternative strategy, we run it as a complement)
+    # alternative strategy, we run it as a complement). 12 bands × 4 rows
+    # puts the banding s-curve midpoint at (1/12)^(1/4) ≈ 0.54 Jaccard —
+    # generous recall for true pairs whose blocking prefix diverged (a
+    # dropped first token leaves J ≈ 0.6-0.8); the extra low-J candidates
+    # are cheap because pair scoring is a single narrow materialized pass
     use_lsh_round0: bool = True
     lsh_bands: int = 12
     lsh_rows_per_band: int = 4
@@ -70,6 +74,14 @@ class ClusterRoundConfig:
     # candidate edges (e.g. spuriously-similar fingerprints) must never
     # produce an unbounded quadratic merge group
     max_component_rows: int = 512
+    # best-link selection BEFORE connected components (the reference's
+    # BasicLinkFilter, BasicLinkFilterFunction.java:46-79): keep only the
+    # max-sim link per (cluster, neighbor-source-set). Without it, hot
+    # artists chain thousands of above-threshold borderline pairs into one
+    # giant component (measured: 16k rows of a 35k corpus in ONE cc) whose
+    # CC convergence and merge grouping serialize; with it, components are
+    # bounded near the true cluster size
+    use_link_filter: bool = True
 
 
 def _cluster_state(prepared: DataFrame, use_audio: bool) -> DataFrame:
@@ -95,10 +107,29 @@ def _round_pairs(
     extra_pair_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate pairs between current clusters with restrictions.
-    ``extra_pair_ids`` (src, dst) — e.g. LSH candidates — are unioned in
-    with payloads joined back, then the pair set is deduplicated."""
+    ``extra_pair_ids`` (src, dst) — e.g. LSH candidates — are unioned in,
+    then the pair set is deduplicated.
+
+    Scale shape (each step measured on a 35k-clip / 13.9M-candidate run):
+
+    1. Only (id, sources_mask) ride the salted self-join; the mask
+       restriction prunes pairs inside the join.
+    2. The similarity arrays (xxhash64-hashed trigram sets — long
+       intersects, no per-probe UTF8 hashing — and fingerprints) are
+       equi-joined onto the pair ids and consumed IN the same stage; the
+       wide rows are never shuffled.
+    3. Scores are written to a NARROW (src, dst, sims) parquet before the
+       threshold filter: Spark's higher-order array functions are not
+       codegen'd and every downstream reference re-evaluates them, so
+       without the materialize boundary the sims were computed ~3× per
+       candidate (this was the single hottest spot of the whole pipeline).
+    4. Payloads are joined back only for the ~1% surviving pairs.
+    """
+    from ..util import materialize
+
     payload = ["members", "sources_mask", "label", "trigram_set", "n_members"]
-    if cfg.use_audio and "fingerprint" in clusters.columns:
+    use_audio = cfg.use_audio and "fingerprint" in clusters.columns
+    if use_audio:
         payload.append("fingerprint")
     restrict = (
         (F.col("l.sources_mask").bitwiseAND(F.col("r.sources_mask")) == 0)
@@ -107,66 +138,77 @@ def _round_pairs(
             <= cfg.max_sources
         )
     )
-    pairs = salted_block_pairs(
-        clusters,
+    pair_ids = salted_block_pairs(
+        clusters.select("id", "blocking_key", "sources_mask"),
         key_col="blocking_key",
         id_col="id",
         max_block_rows=cfg.max_block_rows,
         restrict=restrict,
-        payload_cols=payload,
-    )
+        payload_cols=["sources_mask"],
+    ).select("src", "dst")
     if extra_pair_ids is not None:
-        side = clusters.select(
-            "id", "blocking_key", *[F.col(c) for c in payload]
-        )
-        lp = (
-            extra_pair_ids.join(
-                side.select(
-                    F.col("id").alias("src"),
-                    F.col("blocking_key"),
-                    *[F.col(c).alias(f"src_{c}") for c in payload],
-                ),
-                "src",
-            )
-            .join(
-                side.select(
-                    F.col("id").alias("dst"),
-                    *[F.col(c).alias(f"dst_{c}") for c in payload],
-                ),
-                "dst",
-            )
-            .filter(
-                (
-                    F.col("src_sources_mask").bitwiseAND(F.col("dst_sources_mask"))
-                    == 0
-                )
-                & (
-                    F.bit_count(F.col("src_sources_mask"))
-                    + F.bit_count(F.col("dst_sources_mask"))
-                    <= cfg.max_sources
-                )
-            )
-            .select(*pairs.columns)
-        )
-        pairs = pairs.unionByName(lp).dropDuplicates(["src", "dst"])
-    sims = [
-        cosine_trigram_from_sets(
-            F.col("src_trigram_set"), F.col("dst_trigram_set")
-        ).alias("sim_text")
-    ]
-    if cfg.use_audio and "src_fingerprint" in pairs.columns:
-        sims.append(
-            fingerprint_cosine(
-                F.col("src_fingerprint"), F.col("dst_fingerprint")
-            ).alias("sim_audio")
-        )
-    sim_cols = [F.col("sim_text")] + (
-        [F.col("sim_audio")] if len(sims) > 1 else []
+        pair_ids = pair_ids.unionByName(
+            extra_pair_ids.select("src", "dst")
+        ).dropDuplicates(["src", "dst"])
+    sim_side = clusters.select(
+        "id",
+        F.transform(F.col("trigram_set"), lambda t: F.xxhash64(t)).alias("_tg"),
+        *([F.col("fingerprint").alias("_fp")] if use_audio else []),
     )
+    scored = pair_ids.join(
+        sim_side.select(
+            F.col("id").alias("src"),
+            F.col("_tg").alias("_stg"),
+            *([F.col("_fp").alias("_sfp")] if use_audio else []),
+        ),
+        "src",
+    ).join(
+        sim_side.select(
+            F.col("id").alias("dst"),
+            F.col("_tg").alias("_dtg"),
+            *([F.col("_fp").alias("_dfp")] if use_audio else []),
+        ),
+        "dst",
+    )
+    sims = [
+        cosine_trigram_from_sets(F.col("_stg"), F.col("_dtg")).alias("sim_text")
+    ]
+    if use_audio:
+        sims.append(
+            fingerprint_cosine(F.col("_sfp"), F.col("_dfp")).alias("sim_audio")
+        )
+    narrow = materialize(scored.select("src", "dst", *sims))
+    sim_cols = [F.col("sim_text")] + ([F.col("sim_audio")] if use_audio else [])
+    survivors = narrow.withColumn(
+        "agg_sim", mean_agg_sim(*sim_cols, scale=6)
+    ).filter(F.col("agg_sim") >= cfg.min_sim)
+    side = clusters.select("id", "blocking_key", *[F.col(c) for c in payload])
     return (
-        pairs.select("*", *sims)
-        .withColumn("agg_sim", mean_agg_sim(*sim_cols, scale=6))
-        .filter(F.col("agg_sim") >= cfg.min_sim)
+        survivors.join(
+            side.select(
+                F.col("id").alias("src"),
+                F.col("blocking_key"),
+                *[F.col(c).alias(f"src_{c}") for c in payload],
+            ),
+            "src",
+        )
+        .join(
+            side.select(
+                F.col("id").alias("dst"),
+                *[F.col(c).alias(f"dst_{c}") for c in payload],
+            ),
+            "dst",
+        )
+        # LSH extras skipped the in-join mask restriction — re-check on the
+        # (tiny) surviving set (CheckRestrictionsFilterFunction.java:27-50)
+        .filter(
+            (F.col("src_sources_mask").bitwiseAND(F.col("dst_sources_mask")) == 0)
+            & (
+                F.bit_count(F.col("src_sources_mask"))
+                + F.bit_count(F.col("dst_sources_mask"))
+                <= cfg.max_sources
+            )
+        )
     )
 
 
@@ -245,6 +287,21 @@ def candidate_components(state: DataFrame, cfg: ClusterRoundConfig) -> DataFrame
             seed=cfg.lsh_seed,
         )
     pairs = _round_pairs(state, cfg, extra_pair_ids=extra)
+    if cfg.use_link_filter:
+        # BasicLinkFilter (BasicLinkFilterFunction.java:46-79): an edge
+        # survives only if it is the max-sim link of its src towards dst's
+        # source set AND of its dst towards src's source set; ties by
+        # (src asc, dst asc). Keeps every true-duplicate link (a record's
+        # best match per source IS its duplicate) while cutting the
+        # borderline cross-cluster edges that chain components together.
+        order = [F.desc("agg_sim"), F.asc("src"), F.asc("dst")]
+        w_src = Window.partitionBy("src", "dst_sources_mask").orderBy(*order)
+        w_dst = Window.partitionBy("dst", "src_sources_mask").orderBy(*order)
+        pairs = (
+            pairs.withColumn("_r1", F.row_number().over(w_src))
+            .withColumn("_r2", F.row_number().over(w_dst))
+            .filter((F.col("_r1") == 1) & (F.col("_r2") == 1))
+        )
     from .graph import connected_components
 
     return connected_components(

@@ -84,6 +84,8 @@ def connected_components(
             )
         )
 
+    from pyspark.sql import Observation
+
     for _i in range(max_iter):
         nbr = (
             sym.join(
@@ -104,14 +106,31 @@ def connected_components(
                 ).alias(cc_col),
             )
         )
-        l2 = materialize(_jump(_jump(_jump(l1))), paths[(_i + 1) % 3])
-        changed = (
-            l2.alias("n")
-            .join(labels.alias("o"), id_col)
-            .filter(F.col(f"n.{cc_col}") != F.col(f"o.{cc_col}"))
+        # convergence check rides the materialize write via df.observe —
+        # the old-vs-new comparison used to be a separate join job per
+        # iteration, a third of the loop's serial latency
+        obs = Observation(f"cc_changed_{_i}")
+        with_old = (
+            _jump(_jump(_jump(l1)))
+            .alias("n")
+            .join(
+                labels.select(
+                    F.col(id_col), F.col(cc_col).alias("_old")
+                ).alias("o"),
+                id_col,
+            )
+            .withColumn(
+                "_chg", (F.col(f"n.{cc_col}") != F.col("_old")).cast("long")
+            )
+        )
+        l2 = materialize(
+            with_old.observe(obs, F.sum("_chg").alias("n_changed")).select(
+                F.col(id_col), F.col(f"n.{cc_col}").alias(cc_col)
+            ),
+            paths[(_i + 1) % 3],
         )
         labels = l2
-        if changed.isEmpty():
+        if int(obs.get["n_changed"] or 0) == 0:
             break
     if vertices is not None:
         all_v = vertices.select(id_col)

@@ -157,12 +157,26 @@ def run_batch(
     and source-consistent — the same guarantee the reference's greedy merge
     provides for its default MAX_BOTH incremental path
     (SourceAdditionClustering.java:62-191)."""
+    from pyspark.sql import Observation
+
     from .operators.clustering import ClusterRoundConfig, iterative_max_both_clustering
 
     cfg = cfg or PipelineConfig()
     # prepared is consumed by the round loop AND the final member join;
-    # persist so the fingerprint UDF runs once per record, not per consumer
-    prepared = prepare(clips, cfg).persist()
+    # persist so the fingerprint UDF runs once per record, not per consumer.
+    # df.observe rides the first action over it — per-stage row counters
+    # (the reference's accumulators, Constants.java:33-87) at zero extra
+    # jobs; read them via result["observations"][name].get after an action.
+    obs_in = Observation("pipeline_input")
+    in_aggs = [
+        F.count(F.lit(1)).alias("rows"),
+        # observe() forbids distinct aggregates (CollectMetrics); the HLL
+        # sketch is the streaming-safe equivalent
+        F.approx_count_distinct("blocking_key").alias("blocking_keys"),
+    ]
+    if cfg.use_audio and "bytes" in clips.columns:
+        in_aggs.append(F.count(F.col("fingerprint")).alias("with_fingerprint"))
+    prepared = prepare(clips, cfg).observe(obs_in, *in_aggs).persist()
     state = iterative_max_both_clustering(
         prepared,
         ClusterRoundConfig(
@@ -179,6 +193,7 @@ def run_batch(
     members = prepared.join(membership, "id", "left").withColumn(
         "cc_id", F.coalesce(F.col("cc_id"), F.col("id"))
     )
+    obs_out = Observation("pipeline_output")
     reps = create_representatives(
         members,
         cluster_col="cc_id",
@@ -187,9 +202,15 @@ def run_batch(
         text_col="transcript",
         fingerprint_col="fingerprint" if cfg.use_audio else None,
         source_bits=cfg.source_bits,
+    ).observe(
+        obs_out,
+        F.count(F.lit(1)).alias("clusters"),
+        F.sum("n_members").alias("members_total"),
+        F.max("n_members").alias("max_cluster_size"),
     )
     return {
         "prepared": prepared,
         "state": state,
         "clusters": reps,
+        "observations": {"pipeline_input": obs_in, "pipeline_output": obs_out},
     }

@@ -39,14 +39,30 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        # audio `bytes` rows are ~0.1-0.6 MB: a 10k-row Arrow batch is
+        # >1 GB PER python worker (×32 workers = memory thrash that capped
+        # the MFCC stage's 8→32-core speedup at ~2.2×); 256 rows ≈ 36 MB
+        # keeps workers streaming while staying fully vectorized for
+        # narrow-row UDF stages
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+        # local mode = ONE JVM hosting every task slot: the heap must be
+        # sized for cpus × per-task buffers. 16g with 32 binary-payload scan
+        # tasks GC-thrashed the whole stage (measured 6× slower than
+        # local[8]); 64g gives 32 slots ~2 GB each, matching a real
+        # executor's per-core budget
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "64g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # audio `bytes` rows are ~0.1-0.6 MB: the default 4096-row columnar
-        # batch would hold GBs per task on a binary-payload scan — size the
-        # batch for the payload, not the row count
-        .config("spark.sql.parquet.columnarReaderBatchSize", "256")
+        # binary-payload scans (audio `bytes` ~0.1-0.6 MB/row) allocate
+        # multi-MB column vectors per batch; ON-heap they churn G1 into a
+        # kernel-time collapse at 32 concurrent tasks (measured 130 s for a
+        # 5 GB scan vs 10 s off-heap). Off-heap vectors bypass GC entirely
+        # and keep numeric scans fully vectorized at the default-sized
+        # batch; 1024 rows bounds in-flight memory to ~150 MB/task
+        .config("spark.sql.columnVector.offheap.enabled", "true")
+        .config("spark.memory.offHeap.enabled", "true")
+        .config("spark.memory.offHeap.size", os.environ.get("SPARK_OFFHEAP", "32g"))
+        .config("spark.sql.parquet.columnarReaderBatchSize", "1024")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -150,7 +150,17 @@ class StreamingERJob:
         t0 = time.time()
         cfg = self.cfg
         pcfg = cfg.pipeline
-        batch_df = batch_df.persist()
+        # df.observe piggybacks the input-row count + event-time high-water
+        # mark onto the FIRST action (the count below) — no separate agg job
+        # (SURVEY §2.4 accumulators / §2.11 metrics)
+        from pyspark.sql import Observation
+
+        obs = Observation(f"batch_{batch_id}")
+        batch_df = batch_df.observe(
+            obs,
+            F.count(F.lit(1)).alias("rows"),
+            F.max(F.unix_timestamp("event_time")).alias("max_ts"),
+        ).persist()
         n_in = batch_df.count()
         if n_in == 0:
             batch_df.unpersist()
@@ -159,10 +169,10 @@ class StreamingERJob:
         # ---- watermark: drop+count late rows (event_time older than the
         # high-water mark minus the allowed delay)
         prev_max = self._max_event_time()
-        stats = batch_df.agg(
-            F.max(F.unix_timestamp("event_time")).alias("mx")
-        ).collect()[0]
-        batch_max = float(stats.mx) if stats.mx is not None else None
+        observed = obs.get
+        batch_max = (
+            float(observed["max_ts"]) if observed.get("max_ts") is not None else None
+        )
         threshold = None
         if prev_max is not None:
             threshold = prev_max - cfg.watermark_delay_sec
@@ -245,6 +255,7 @@ class StreamingERJob:
             prepared.groupBy(F.spark_partition_id().alias("partition"))
             .agg(F.count(F.lit(1)).alias("rows"))
             .withColumn("n_input", F.lit(n_in))
+            .withColumn("n_input_observed", F.lit(int(observed["rows"])))
             .withColumn("n_late_dropped", F.lit(n_late))
             .withColumn("n_clusters_total", F.lit(n_clusters))
             .withColumn("wall_sec", F.lit(round(time.time() - t0, 3)))
@@ -257,7 +268,13 @@ class StreamingERJob:
 
     def start(self, available_now: bool = True):
         from ..schema import CLIPS_SCHEMA
+        from .metrics import ProgressLogListener
 
+        # engine-level rate/duration log, one JSON line per micro-batch
+        self._listener = ProgressLogListener(
+            os.path.join(self.cfg.work_dir, "progress.jsonl")
+        )
+        self.spark.streams.addListener(self._listener)
         stream = (
             self.spark.readStream.schema(CLIPS_SCHEMA)
             .option("maxFilesPerTrigger", self.cfg.max_files_per_trigger)

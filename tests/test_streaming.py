@@ -307,3 +307,52 @@ def test_stateful_cluster_stream(spark, corpus, tmp_path):
     assert len(flat) == len(set(flat))
     total = spark.read.parquet(source_dir).count()
     assert len(flat) == total
+
+
+def test_observe_metrics_and_progress_log(spark, corpus, tmp_path):
+    """df.observe counters land in lineage; the StreamingQueryListener
+    appends per-batch progress lines (SURVEY §2.4 accumulators + §2.11
+    metrics)."""
+    import json
+
+    source_dir, _ = corpus
+    work = str(tmp_path / "work")
+    job = _run_job(spark, source_dir, work, max_files=2)
+    lin = job.lineage()
+    assert "n_input_observed" in lin.columns
+    # the observed count must equal the driver-side count for every batch
+    bad = lin.filter(F.col("n_input") != F.col("n_input_observed")).count()
+    assert bad == 0
+    log_path = os.path.join(work, "progress.jsonl")
+    expected = spark.read.parquet(source_dir).count()
+    # the StreamingQueryListener bus is asynchronous — progress lines can
+    # trail awaitTermination; poll briefly
+    import time as _time
+
+    progress = []
+    for _ in range(60):
+        if os.path.exists(log_path):
+            events = [json.loads(l) for l in open(log_path)]
+            progress = [e for e in events if e["event"] == "progress"]
+            if sum(p["numInputRows"] for p in progress) >= expected:
+                break
+        _time.sleep(0.5)
+    assert progress and all("numInputRows" in p for p in progress)
+    assert sum(p["numInputRows"] for p in progress) >= expected
+
+
+def test_batch_observations(spark):
+    """run_batch exposes input/output Observations readable after an
+    action."""
+    from mapping_analysis_spark.datagen.clips import clips_spark_df
+    from mapping_analysis_spark.pipeline import PipelineConfig, run_batch
+
+    clips = clips_spark_df(spark, 20, seed=11).drop("gold_cluster")
+    res = run_batch(clips, PipelineConfig(min_sim=0.7))
+    n_clusters = res["clusters"].count()  # fires both observations
+    obs_in = res["observations"]["pipeline_input"].get
+    obs_out = res["observations"]["pipeline_output"].get
+    assert obs_in["rows"] == clips.count()
+    assert obs_in["blocking_keys"] > 0
+    assert obs_out["clusters"] == n_clusters
+    assert obs_out["members_total"] == obs_in["rows"]
