@@ -228,12 +228,21 @@ def lsh_pairs(
     (lsh/utils/BitFrequencyCounter.java:31-49). Returns canonical
     (src, dst).
     """
+    from ..util import materialize
+
     sig = df.select(
         F.col(id_col),
         minhash_signature(F.col(trigram_col), bands * rows_per_band, seed).alias("_sig"),
     )
-    banded = sig.select(
-        id_col, F.explode(lsh_band_keys(F.col("_sig"), bands, rows_per_band)).alias("_band")
+    # materialize (id, band): the self-join + bucket-size agg below would
+    # otherwise re-evaluate the minhash signature once per reference
+    banded = materialize(
+        sig.select(
+            id_col,
+            F.explode(lsh_band_keys(F.col("_sig"), bands, rows_per_band)).alias(
+                "_band"
+            ),
+        )
     )
     if max_bucket:
         bucket_sizes = banded.groupBy("_band").agg(

@@ -104,8 +104,18 @@ def minhash_lsh_candidates(
         "_id",
         minhash_signature(F.col("_sh"), bands * rows_per_band, seed).alias("_sig"),
     )
-    banded = sig.select(
-        "_id", F.explode(lsh_band_keys(F.col("_sig"), bands, rows_per_band)).alias("_band")
+    from ..util import materialize
+
+    # materialize (id, band): every alias below re-evaluates its input, and
+    # the minhash signature is the expensive part — without the boundary it
+    # is computed once per self-join side plus once for the bucket sizes
+    banded = materialize(
+        sig.select(
+            "_id",
+            F.explode(lsh_band_keys(F.col("_sig"), bands, rows_per_band)).alias(
+                "_band"
+            ),
+        )
     )
     if max_bucket:
         bucket_sizes = banded.groupBy("_band").agg(F.count(F.lit(1)).alias("_bn"))
