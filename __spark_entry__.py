@@ -198,13 +198,17 @@ def q_trigram_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-band LSH candidates verified at Jaccard ≥ 0.8 over word
     3-gram shingles. Oracle = EXACT all-pairs Jaccard ≥ 0.8 — passes iff
-    the banding (16 bands × 4 rows) reaches full recall at 0.8, which it
-    does (detection prob ≥ 0.9998)."""
+    the banding reaches full recall at 0.8. 32 bands × 4 rows puts the
+    per-pair miss probability at (1 − 0.8⁴)³² ≈ 5e-8 at J = 0.8 (and lower
+    above), so across the handful of qualifying pairs at any sf the
+    expected misses are ≪ 1 — the exact oracle is safe, not just lucky
+    (the production dedup path defaults to 16 bands; the doubled banding
+    here buys the recall margin the hash-equality gate demands)."""
     from mapping_analysis_spark.operators.dedup import minhash_lsh_candidates
 
     docs = _t(spark, sf_dir, "documents")
     return (
-        minhash_lsh_candidates(docs, bands=16, rows_per_band=4)
+        minhash_lsh_candidates(docs, bands=32, rows_per_band=4)
         .filter(F.col("jaccard") >= 0.8)
         .select("src", "dst", F.round("jaccard", 6).alias("jaccard"))
     )
@@ -594,6 +598,46 @@ def q_geo_er(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clusters.select("id", "n_members", "sources_mask", "label")
 
 
+def q_nc_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NC-domain candidate pairs (NcLshCandidateTupleCreator.java:69-120
+    composition, standard-blocking flavor): person-ish records derived from
+    documents (name = first token, surname = second token, number =
+    n_chars), NC blocking label (Utils.getNcBlockingLabel, Utils.java:
+    208-233), salted cross-source block pairs, full-name trigram cosine +
+    repaired-number equality fused by mean-agg. LSH complement is off so
+    the DuckDB oracle can enumerate the identical pair set (the LSH path
+    is pytest-covered in tests/test_nc.py)."""
+    from mapping_analysis_spark.operators.nc import nc_candidate_pairs, nc_prepare
+
+    docs = _t(spark, sf_dir, "documents")
+    words = F.filter(
+        F.split(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "),
+        lambda w: w != "",
+    )
+    recs = docs.select(
+        F.col("doc_id"),
+        F.coalesce(F.element_at(words, 1), F.lit("")).alias("name"),
+        F.coalesce(F.element_at(words, 2), F.lit("")).alias("surname"),
+        F.col("n_chars").cast("string").alias("number"),
+        F.col("source"),
+    )
+    bits = {
+        r["source"]: 1 << i
+        for i, r in enumerate(
+            sorted(
+                recs.select("source").distinct().collect(),
+                key=lambda r: r["source"],
+            )
+        )
+    }
+    prepared = nc_prepare(
+        recs, id_col="doc_id", blocking_length=4, source_bits=bits
+    )
+    return nc_candidate_pairs(prepared, min_sim=0.5, use_lsh=False).select(
+        "src", "dst", "agg_sim"
+    )
+
+
 def q_er_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship iterative max-both ER clustering on documents (rows-only:
     iterative algorithm, not single-query SQL)."""
@@ -643,6 +687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "er_documents": q_er_documents,
         "geo_er": q_geo_er,
+        "nc_candidates": q_nc_candidates,
     }
 
 
@@ -955,6 +1000,44 @@ def oracle_sql() -> dict[str, str]:
             f"list_filter(list_transform({arr},"
             f" t -> case t {shade_when} else NULL end), s -> s is not null)"
         )
+
+    # NC candidates: name/surname = first two tokens, number = n_chars;
+    # blocking label = 2+2-char prefixes; sim = trigram cosine of the full
+    # name (6dp) mean-fused with the number-equality channel (no vote when
+    # unequal — number_sim semantics), re-rounded 6dp
+    nc_tg = _padded_trigrams("nm")
+    sqls["nc_candidates"] = f"""
+        with d as (
+          select doc_id, source, n_chars::VARCHAR as num,
+                 list_filter(string_split_regex({_NORM}, ' '), x -> x <> '') as w
+          from documents),
+        e as (
+          select doc_id, source, num,
+                 coalesce(w[1], '') as tok1, coalesce(w[2], '') as tok2
+          from d),
+        f as (
+          select doc_id, source, num,
+                 substring(rpad(tok1, 2, ' '), 1, 2)
+                   || substring(rpad(tok2, 2, ' '), 1, 2) as k,
+                 trim(regexp_replace(regexp_replace(
+                   trim(tok1 || ' ' || tok2), '[[:punct:]]', ' ', 'g'),
+                   '\\s+', ' ', 'g')) as nm
+          from e),
+        g as (select doc_id, source, num, k, {nc_tg} as tg from f),
+        p as (
+          select a.doc_id as src, b.doc_id as dst,
+                 round(len(list_intersect(a.tg, b.tg))::DOUBLE
+                   / sqrt(len(a.tg)::DOUBLE * len(b.tg)::DOUBLE), 6) as ct,
+                 (a.num = b.num) as num_eq
+          from g a join g b
+            on a.k = b.k and a.doc_id < b.doc_id and a.source <> b.source)
+        select src, dst, agg_sim from (
+          select src, dst,
+                 round((ct + case when num_eq then 1.0 else 0.0 end)
+                   / (1 + case when num_eq then 1 else 0 end), 6) as agg_sim
+          from p)
+        where agg_sim >= 0.5
+    """
 
     sqls["type_sim"] = f"""
         with d as (

@@ -35,7 +35,11 @@ def read_geo_vertices(
     spark: SparkSession, vertex_file: str, property_file: str
 ) -> DataFrame:
     """(id, url, source, label, lat, lon, types) — whitelist-filtered,
-    properties pivoted on, label-less vertices dropped."""
+    properties pivoted on, label-less vertices dropped. The property fold
+    is shared with the JDBC source (``sources.jdbc``), which loads the same
+    relational shape."""
+    from .jdbc import fold_properties
+
     v = (
         spark.read.csv(vertex_file, sep=";", mode="DROPMALFORMED")
         .toDF("id", "url", "source")
@@ -49,40 +53,7 @@ def read_geo_vertices(
         .withColumn("id", F.col("id").cast("long"))
         .filter(F.col("id").isNotNull())
     )
-    pivoted = p.groupBy("id").agg(
-        F.max(
-            F.when(
-                (F.col("key") == "label") & (F.col("ptype") == "string"),
-                F.col("value"),
-            )
-        ).alias("label"),
-        F.max(
-            F.when(
-                (F.col("key") == "lat") & (F.col("ptype") == "double"),
-                F.col("value").cast("double"),
-            )
-        ).alias("lat"),
-        F.max(
-            F.when(
-                (F.col("key") == "lon") & (F.col("ptype") == "double"),
-                F.col("value").cast("double"),
-            )
-        ).alias("lon"),
-        F.sort_array(
-            F.collect_set(
-                F.when(
-                    F.col("key").isin("type", "typeIntern")
-                    & (F.col("ptype") == "string"),
-                    F.col("value"),
-                )
-            )
-        ).alias("types"),
-    )
-    return (
-        v.join(pivoted, "id", "left")
-        .filter(F.col("label").isNotNull())
-        .select("id", "url", "source", "label", "lat", "lon", "types")
-    )
+    return fold_properties(v, p)
 
 
 def read_geo_edges(spark: SparkSession, edge_file: str) -> DataFrame:

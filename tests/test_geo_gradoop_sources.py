@@ -72,3 +72,30 @@ def test_gradoop_epgm_graph(spark, tmp_path):
     assert sorted(vrows) == [10, 20]  # long ids from data.id
     assert vrows[10].epgm_id == "aaaaaaaaaaaa"
     assert [(r.src, r.dst) for r in e.collect()] == [(10, 20)]
+
+
+def test_jdbc_fold_properties(spark):
+    """fold_properties (shared geo-CSV/JDBC seam, JDBCDataSource.java
+    PropertyVertexCreator semantics): scalar label/lat/lon, type values
+    accumulate into a sorted set, label-less vertices dropped."""
+    from mapping_analysis_spark.sources.jdbc import fold_properties
+
+    v = spark.createDataFrame(
+        [(1, "u1", "s"), (2, "u2", "s")], "id long, url string, source string"
+    )
+    p = spark.createDataFrame(
+        [
+            (1, "label", "string", "Leipzig"),
+            (1, "lat", "double", "51.34"),
+            (1, "lon", "double", "12.37"),
+            (1, "type", "string", "City"),
+            (1, "typeIntern", "string", "Settlement"),
+            (2, "lat", "double", "0.0"),  # no label → dropped
+        ],
+        "id long, key string, ptype string, value string",
+    )
+    rows = {r.id: r for r in fold_properties(v, p).collect()}
+    assert sorted(rows) == [1]
+    assert rows[1].label == "Leipzig"
+    assert rows[1].lat == 51.34 and rows[1].lon == 12.37
+    assert rows[1].types == ["City", "Settlement"]
