@@ -36,11 +36,21 @@ def connected_components(
 
     Algorithm: iterated label propagation on the star-contracted graph —
     each round every node adopts ``min(own label, min neighbor label)``,
-    then edges are rewritten onto labels (star contraction). Converges in
-    O(log n) rounds on path-like worst cases and ~2-3 rounds on the tiny
-    blocking components this engine produces. Each round = one groupBy
-    shuffle + one join; `localCheckpoint` guards the driver-side loop from
-    lineage blowup (Flink's iterate operator does this implicitly).
+    then pointer jumping (l(v) := l(l(v)), three times) compresses label
+    chains, so convergence is O(log n) rounds on path-like worst cases and
+    round 0 + a confirming round on the shallow blocking components this
+    engine produces.
+
+    Driver-latency design (the CC loop used to be the pipeline's serial
+    floor — ~80 driver job round-trips over tiny label tables): the whole
+    round (propagation + 3 jumps + old-vs-new convergence counter via
+    ``df.observe``) is ONE action per iteration; the initial
+    min(own, neighbor) labeling is folded into round 0's plan instead of
+    being its own materialized step; and AQE is switched off inside the
+    loop — per-stage adaptive re-planning buys nothing on fixed-size label
+    tables and costs a driver round-trip per exchange (at this scale the
+    static planner also auto-broadcasts the small label side from parquet
+    stats, which AQE only discovered after extra stage barriers).
     """
     from ..util import loop_paths, materialize
 
@@ -53,21 +63,17 @@ def connected_components(
         .unionByName(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
         .dropDuplicates(["a", "b"])
     )
-    # initial label = min(own, min neighbor)
-    paths = loop_paths(3, "cc_labels")
-    labels = materialize(
+    paths = loop_paths(2, "cc_labels")
+    # initial label = min(own, min neighbor) — lazy: folds into round 0
+    labels = (
         sym.groupBy("a")
         .agg(F.min("b").alias("nbr_min"))
         .select(
             F.col("a").alias(id_col),
             F.least(F.col("a"), F.col("nbr_min")).alias(cc_col),
-        ),
-        paths[0],
+        )
     )
-    # Iterate: (1) one-hop propagation — every node takes the min of its
-    # own and its neighbors' labels; (2) pointer jumping — l(v) := l(l(v))
-    # applied twice. The jumps halve label-chain lengths each round, so
-    # convergence is O(log n) rounds even on a path graph.
+
     def _jump(df: DataFrame) -> DataFrame:
         return (
             df.alias("x")
@@ -86,52 +92,71 @@ def connected_components(
 
     from pyspark.sql import Observation
 
-    for _i in range(max_iter):
-        nbr = (
-            sym.join(
-                labels.select(
-                    F.col(id_col).alias("b"), F.col(cc_col).alias("_lb")
+    import os
+    import time
+
+    spark = edges.sparkSession
+    aqe_was = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    _t_loop = time.time()
+    try:
+        for _i in range(max_iter):
+            nbr = (
+                sym.join(
+                    labels.select(
+                        F.col(id_col).alias("b"), F.col(cc_col).alias("_lb")
+                    ),
+                    "b",
+                )
+                .groupBy("a")
+                .agg(F.min("_lb").alias("_nbr_min"))
+            )
+            l1 = (
+                labels.join(nbr, labels[id_col] == nbr["a"], "left")
+                .select(
+                    F.col(id_col),
+                    F.least(
+                        F.col(cc_col), F.coalesce(F.col("_nbr_min"), F.col(cc_col))
+                    ).alias(cc_col),
+                )
+            )
+            # convergence check rides the materialize write via df.observe —
+            # a fixpoint is reached when a full round leaves every label
+            # unchanged. Round 0 compares against the (in-plan) initial
+            # labeling, so an already-star-shaped graph still needs only
+            # round 0 + one confirming round.
+            obs = Observation(f"cc_changed_{_i}")
+            with_old = (
+                _jump(_jump(_jump(l1)))
+                .alias("n")
+                .join(
+                    labels.select(
+                        F.col(id_col), F.col(cc_col).alias("_old")
+                    ).alias("o"),
+                    id_col,
+                )
+                .withColumn(
+                    "_chg", (F.col(f"n.{cc_col}") != F.col("_old")).cast("long")
+                )
+            )
+            labels = materialize(
+                with_old.observe(obs, F.sum("_chg").alias("n_changed")).select(
+                    F.col(id_col), F.col(f"n.{cc_col}").alias(cc_col)
                 ),
-                "b",
+                paths[_i % 2],
             )
-            .groupBy("a")
-            .agg(F.min("_lb").alias("_nbr_min"))
-        )
-        l1 = (
-            labels.join(nbr, labels[id_col] == nbr["a"], "left")
-            .select(
-                F.col(id_col),
-                F.least(
-                    F.col(cc_col), F.coalesce(F.col("_nbr_min"), F.col(cc_col))
-                ).alias(cc_col),
-            )
-        )
-        # convergence check rides the materialize write via df.observe —
-        # the old-vs-new comparison used to be a separate join job per
-        # iteration, a third of the loop's serial latency
-        obs = Observation(f"cc_changed_{_i}")
-        with_old = (
-            _jump(_jump(_jump(l1)))
-            .alias("n")
-            .join(
-                labels.select(
-                    F.col(id_col), F.col(cc_col).alias("_old")
-                ).alias("o"),
-                id_col,
-            )
-            .withColumn(
-                "_chg", (F.col(f"n.{cc_col}") != F.col("_old")).cast("long")
-            )
-        )
-        l2 = materialize(
-            with_old.observe(obs, F.sum("_chg").alias("n_changed")).select(
-                F.col(id_col), F.col(f"n.{cc_col}").alias(cc_col)
-            ),
-            paths[(_i + 1) % 3],
-        )
-        labels = l2
-        if int(obs.get["n_changed"] or 0) == 0:
-            break
+            n_changed = int(obs.get["n_changed"] or 0)
+            if os.environ.get("SPARK_GRAFT_DEBUG_CC"):
+                print(
+                    f"[cc] round {_i}: n_changed={n_changed} "
+                    f"t={time.time() - _t_loop:.2f}s",
+                    flush=True,
+                )
+                _t_loop = time.time()
+            if n_changed == 0:
+                break
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
     if vertices is not None:
         all_v = vertices.select(id_col)
         labels = all_v.join(labels, id_col, "left").select(

@@ -30,11 +30,19 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = max(int(cpus), 4)
 
+    # AQE defaults ON (runtime skew-split + partition coalescing are the
+    # right call on a real cluster where stages run for seconds-minutes).
+    # SPARK_GRAFT_AQE=false turns it off for latency-bound small-scale runs:
+    # every AQE query stage is a separate driver round-trip + re-plan, and
+    # when shuffle partitions are already statically sized to the core count
+    # and skew is handled by explicit salting, those round-trips are pure
+    # serial floor (measured: ~2-3× the job count on the ER pipeline).
+    aqe = os.environ.get("SPARK_GRAFT_AQE", "true").lower() != "false"
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.enabled", str(aqe).lower())
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")

@@ -41,10 +41,11 @@ def ensure_corpus() -> None:
     if os.path.exists(os.path.join(CORPUS, "_SUCCESS")):
         return
     spark = get_spark("scaling-datagen", cpus=os.cpu_count() or 8)
-    # 128 output files: fine-grained scan tasks pack evenly at BOTH
-    # parallelism levels (32 coarse files made the 32-core scan straggle on
-    # its slowest file)
-    write_clips_parquet(spark, CORPUS, N_CLUSTERS, seed=SEED, partitions=128)
+    # fine-grained output files: scan tasks pack evenly at BOTH parallelism
+    # levels (32 coarse files made the 32-core scan straggle on its slowest
+    # file); scale the file count with the corpus so files stay ~150 MB
+    parts = max(128, (N_CLUSTERS * 7 // 2) // 1000)
+    write_clips_parquet(spark, CORPUS, N_CLUSTERS, seed=SEED, partitions=parts)
     spark.stop()
 
 
