@@ -103,7 +103,7 @@ def main() -> None:
                 [sys.executable, os.path.abspath(__file__), "--run", str(cpus)],
                 capture_output=True,
                 text=True,
-                timeout=3600,
+                timeout=int(os.environ.get("SCALING_TIMEOUT", "7200")),
             )
             line = [l for l in proc.stdout.splitlines() if l.startswith("RESULT ")]
             if not line:

@@ -1,0 +1,169 @@
+"""Streaming scaling evidence for the north rule: the SAME micro-batch
+stream (identical file order, identical maxFilesPerTrigger → identical
+batch composition) driven through the streaming ER engine at two
+parallelism levels, reporting end-to-end clips/sec at each, the scaling
+efficiency, and an order-insensitive hash of the FINAL cluster state that
+must be identical across levels (exactly-once, deterministic pipeline).
+
+This is the streaming complement of scripts/bench_scaling.py (batch): the
+north rule's metric is throughput on the *streaming* corpus, so the
+committed evidence covers both execution modes. Each level is launched via
+``spark-submit --py-files dist/mapping_analysis_spark.zip`` — the exact
+cluster deployment shape the rule names — with ``--master local[N]`` as
+the sandbox proxy for an N-executor cluster.
+
+Usage:
+  python scripts/bench_scaling_streaming.py           # both levels + summary
+  STREAM_N_CLUSTERS=80000 STREAM_MAX_FILES=70 ...     # corpus / batch knobs
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+N_CLUSTERS = int(os.environ.get("STREAM_N_CLUSTERS", "80000"))
+SEED = 42
+CORPUS = f"/tmp/spark_graft_scaling_{N_CLUSTERS}_{SEED}"
+MAX_FILES = int(os.environ.get("STREAM_MAX_FILES", "70"))
+LEVELS = (
+    int(os.environ.get("SCALING_N_CORES", "4")),
+    int(os.environ.get("SCALING_4N_CORES", "16")),
+)
+
+
+def ensure_corpus() -> None:
+    from mapping_analysis_spark.datagen.clips import write_clips_parquet
+    from mapping_analysis_spark.session import get_spark
+
+    if os.path.exists(os.path.join(CORPUS, "_SUCCESS")):
+        return
+    spark = get_spark("stream-scaling-datagen", cpus=os.cpu_count() or 8)
+    parts = max(128, (N_CLUSTERS * 7 // 2) // 1000)
+    write_clips_parquet(spark, CORPUS, N_CLUSTERS, seed=SEED, partitions=parts)
+    spark.stop()
+
+
+def ensure_pyfiles() -> str:
+    zip_path = os.path.join(REPO, "dist", "mapping_analysis_spark.zip")
+    subprocess.run(
+        ["bash", os.path.join(REPO, "scripts", "make_pyfiles.sh")],
+        check=True,
+        capture_output=True,
+    )
+    return zip_path
+
+
+def run_level(cpus: int, zip_path: str) -> dict:
+    """spark-submit the streaming job at local[cpus]; return throughput +
+    final-state hash."""
+    work = f"/tmp/stream_scale_{N_CLUSTERS}_{cpus}"
+    if os.path.exists(work):
+        shutil.rmtree(work)
+    # count input rows once (cheap metadata scan) for the rate denominator
+    import pyarrow.dataset as ds
+
+    n_clips = ds.dataset(CORPUS).count_rows()
+    env = dict(os.environ)
+    t0 = time.time()
+    proc = subprocess.run(
+        [
+            "spark-submit",
+            "--master", f"local[{cpus}]",
+            "--driver-memory", os.environ.get("SPARK_DRIVER_MEMORY", "64g"),
+            "--conf", f"spark.sql.shuffle.partitions={cpus}",
+            "--conf", "spark.sql.session.timeZone=UTC",
+            "--conf", "spark.sql.execution.arrow.maxRecordsPerBatch=256",
+            "--conf", "spark.sql.columnVector.offheap.enabled=true",
+            "--conf", "spark.memory.offHeap.enabled=true",
+            "--conf", "spark.memory.offHeap.size=32g",
+            "--conf", "spark.sql.parquet.columnarReaderBatchSize=1024",
+            "--conf", "spark.ui.enabled=false",
+            "--conf", "spark.sql.autoBroadcastJoinThreshold=67108864",
+            "--py-files", zip_path,
+            os.path.join(REPO, "jobs", "streaming_er_job.py"),
+            "--source", CORPUS,
+            "--work", work,
+            "--max-files", str(MAX_FILES),
+        ],
+        capture_output=True,
+        text=True,
+        timeout=7200,
+        env=env,
+    )
+    elapsed = time.time() - t0
+    if proc.returncode != 0:
+        print(proc.stdout[-3000:], file=sys.stderr)
+        print(proc.stderr[-3000:], file=sys.stderr)
+        raise SystemExit(f"streaming level {cpus} failed")
+
+    # hash the final committed state (cluster id + sorted members),
+    # order-insensitively, in a tiny local session
+    from mapping_analysis_spark.session import get_spark
+    from pyspark.sql import functions as F
+
+    spark = get_spark(f"stream-hash-{cpus}", cpus=4)
+    versions = sorted(
+        int(d[2:])
+        for d in os.listdir(os.path.join(work, "state"))
+        if d.startswith("v=")
+        and os.path.exists(os.path.join(work, "state", d, "_COMMITTED"))
+    )
+    state = spark.read.parquet(os.path.join(work, "state", f"v={versions[-1]}"))
+    agg = (
+        state.select(
+            F.xxhash64(
+                F.col("id"), F.concat_ws(",", F.col("members"))
+            ).alias("h")
+        )
+        .agg(F.expr("bit_xor(h)").alias("s"), F.count("h").alias("n"))
+        .collect()[0]
+    )
+    n_batches = len(
+        [d for d in os.listdir(os.path.join(work, "output")) if d.startswith("batch_id=")]
+    )
+    spark.stop()
+    return {
+        "cpus": cpus,
+        "n_clips": n_clips,
+        "n_batches": n_batches,
+        "n_clusters": int(agg.n),
+        "state_hash": int(agg.s),
+        "elapsed_sec": round(elapsed, 2),
+        "clips_per_sec": round(n_clips / elapsed, 2),
+    }
+
+
+def main() -> None:
+    ensure_corpus()
+    zip_path = ensure_pyfiles()
+    results = {}
+    for cpus in LEVELS:
+        results[cpus] = run_level(cpus, zip_path)
+        print("LEVEL " + json.dumps(results[cpus]), flush=True)
+    rn, r4n = results[LEVELS[0]], results[LEVELS[1]]
+    summary = {
+        "mode": "streaming (spark-submit --py-files, availableNow)",
+        "n_clips": rn["n_clips"],
+        "max_files_per_trigger": MAX_FILES,
+        f"local{LEVELS[0]}": rn,
+        f"local{LEVELS[1]}": r4n,
+        "identical_output": rn["state_hash"] == r4n["state_hash"]
+        and rn["n_clusters"] == r4n["n_clusters"],
+        "speedup_n_to_4n": round(r4n["clips_per_sec"] / rn["clips_per_sec"], 3),
+        "scaling_efficiency": round(
+            (r4n["clips_per_sec"] / rn["clips_per_sec"]) / 4.0, 3
+        ),
+    }
+    print(json.dumps(summary, indent=2))
+
+
+if __name__ == "__main__":
+    main()
