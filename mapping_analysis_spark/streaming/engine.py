@@ -105,11 +105,21 @@ class StreamingERJob:
         path = os.path.join(self.cfg.state_dir, f"v={versions[-1]}")
         return self.spark.read.parquet(path)
 
-    def _save_state(self, state: DataFrame, batch_id: int) -> None:
+    def _write_state(self, state: DataFrame, batch_id: int) -> DataFrame:
+        """Write the new state version ONCE (no scratch materialize copy —
+        the versioned path IS the lineage cut) and return the read-back.
+        The version stays uncommitted until ``_commit_state``; a crash
+        before the marker leaves it invisible to ``_load_state`` and a
+        deterministic replay rewrites it."""
+        from ..util import materialize
+
         path = os.path.join(self.cfg.state_dir, f"v={batch_id}")
         if os.path.exists(path):
             shutil.rmtree(path)  # replay: half-written version is discarded
-        state.write.mode("overwrite").parquet(path)
+        return materialize(state, path=path)
+
+    def _commit_state(self, batch_id: int) -> None:
+        path = os.path.join(self.cfg.state_dir, f"v={batch_id}")
         with open(os.path.join(path, "_COMMITTED"), "w") as f:
             f.write(str(batch_id))
         # retire superseded versions (keep the last two for debugging)
@@ -150,39 +160,47 @@ class StreamingERJob:
         t0 = time.time()
         cfg = self.cfg
         pcfg = cfg.pipeline
-        # df.observe piggybacks the input-row count + event-time high-water
-        # mark onto the FIRST action (the count below) — no separate agg job
-        # (SURVEY §2.4 accumulators / §2.11 metrics)
+        # df.observe piggybacks input-row count, event-time high-water mark
+        # AND the late-row count onto the FIRST action (the count below) —
+        # no separate agg/count jobs (SURVEY §2.4 accumulators / §2.11
+        # metrics). The watermark threshold is known before any action: it
+        # derives from the PREVIOUS batches' max event time on disk.
         from pyspark.sql import Observation
 
-        obs = Observation(f"batch_{batch_id}")
-        batch_df = batch_df.observe(
-            obs,
+        prev_max = self._max_event_time()
+        threshold = None
+        if prev_max is not None:
+            threshold = prev_max - cfg.watermark_delay_sec
+        obs_cols = [
             F.count(F.lit(1)).alias("rows"),
             F.max(F.unix_timestamp("event_time")).alias("max_ts"),
-        ).persist()
+        ]
+        if threshold is not None:
+            obs_cols.append(
+                F.sum(
+                    (F.unix_timestamp("event_time") < F.lit(threshold)).cast("long")
+                ).alias("late")
+            )
+        obs = Observation(f"batch_{batch_id}")
+        batch_df = batch_df.observe(obs, *obs_cols).persist()
         n_in = batch_df.count()
         if n_in == 0:
             batch_df.unpersist()
             return
 
-        # ---- watermark: drop+count late rows (event_time older than the
+        # ---- watermark: drop late rows (event_time older than the
         # high-water mark minus the allowed delay)
-        prev_max = self._max_event_time()
         observed = obs.get
         batch_max = (
             float(observed["max_ts"]) if observed.get("max_ts") is not None else None
         )
-        threshold = None
-        if prev_max is not None:
-            threshold = prev_max - cfg.watermark_delay_sec
         on_time = batch_df
         n_late = 0
         if threshold is not None:
             on_time = batch_df.filter(
                 F.unix_timestamp("event_time") >= F.lit(threshold)
             )
-            n_late = n_in - on_time.count()
+            n_late = int(observed.get("late") or 0)
         candidates = [v for v in (prev_max, batch_max) if v is not None]
         new_max = max(candidates) if candidates else None
 
@@ -223,18 +241,27 @@ class StreamingERJob:
         # converges to the batch result for the same input
         from ..operators.clustering import cluster_rounds
 
-        from ..util import materialize
-
         clusters = cluster_rounds(working, rcfg)
         clusters_with_bands = clusters.withColumn("band_keys", band_expr)
-        new_state = materialize(
+        # single full-state write straight into the (uncommitted) version
+        # path — it doubles as the lineage cut that the old scratch
+        # materialize provided, halving per-batch state I/O
+        new_state = self._write_state(
             clusters_with_bands
             if untouched is None
-            else clusters_with_bands.unionByName(untouched)
+            else clusters_with_bands.unionByName(untouched),
+            batch_id,
         )
-        clusters = new_state.join(
-            clusters.select("id"), "id", "left_semi"
-        ).drop("band_keys")
+        # this batch's output = the updated clusters = new_state minus the
+        # untouched carry-over. Anti-joining on the (cheap) untouched id set
+        # avoids re-executing the cluster_rounds plan — merge included —
+        # a second time just to list the touched ids.
+        if untouched is None:
+            clusters = new_state.drop("band_keys")
+        else:
+            clusters = new_state.join(
+                untouched.select("id"), "id", "left_anti"
+            ).drop("band_keys")
 
         # ---- exactly-once sink: overwrite THIS batch's partition only
         out_path = os.path.join(cfg.output_dir, f"batch_id={batch_id}")
@@ -244,7 +271,7 @@ class StreamingERJob:
         clusters.write.mode("overwrite").parquet(out_path)
 
         # ---- state commit + watermark + lineage
-        self._save_state(new_state, batch_id)
+        self._commit_state(batch_id)
         if new_max is not None:
             self._save_max_event_time(new_max)
         n_clusters = new_state.count()
