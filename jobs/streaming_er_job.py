@@ -38,10 +38,13 @@ def main() -> None:
 
     spark = SparkSession.builder.appName("streaming-er").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    # size the shuffle to the cluster (overridable via --conf on submit)
+    # size the shuffle to the cluster: 4× the core count as the INITIAL
+    # partition number — AQE coalesces small ones, while the finer
+    # granularity smooths stragglers on the scoring/merge stages (at
+    # exactly N partitions one slow partition idles the rest of the level)
     spark.conf.set(
         "spark.sql.shuffle.partitions",
-        str(max(spark.sparkContext.defaultParallelism, 4)),
+        str(max(4 * spark.sparkContext.defaultParallelism, 16)),
     )
 
     from mapping_analysis_spark.pipeline import PipelineConfig

@@ -177,7 +177,13 @@ def _round_pairs(
         sims.append(
             fingerprint_cosine(F.col("_sfp"), F.col("_dfp")).alias("sim_audio")
         )
+    import os
+    import time
+
+    _t = time.time()
     narrow = materialize(scored.select("src", "dst", *sims))
+    if os.environ.get("SPARK_GRAFT_DEBUG_BATCH"):
+        print(f"[rounds] score-pairs-narrow: {time.time() - _t:.1f}s", flush=True)
     sim_cols = [F.col("sim_text")] + ([F.col("sim_audio")] if use_audio else [])
     survivors = narrow.withColumn(
         "agg_sim", mean_agg_sim(*sim_cols, scale=6)
@@ -462,11 +468,21 @@ def cluster_rounds(
     shuffle. The returned state's ``blocking_key`` is restored to the
     prefix key of the fused label (so streaming re-keying stays stable),
     and ``trigram_set`` is recomputed from the fused label."""
+    import os
+    import time
+
     from ..util import materialize
 
     cfg = cfg or ClusterRoundConfig()
+    _dbg = os.environ.get("SPARK_GRAFT_DEBUG_BATCH")
+    _t = time.time()
     clusters = materialize(state)
+    if _dbg:
+        print(f"[rounds] input-materialize: {time.time() - _t:.1f}s", flush=True)
+        _t = time.time()
     cc = candidate_components(clusters, cfg)
+    if _dbg:
+        print(f"[rounds] pairs+link-filter+cc: {time.time() - _t:.1f}s", flush=True)
     sizes = cc.groupBy("cc").agg(F.count(F.lit(1)).alias("_cc_n"))
     clusters = (
         clusters.join(cc, "id")

@@ -158,6 +158,18 @@ class StreamingERJob:
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         t0 = time.time()
+        _dbg = os.environ.get("SPARK_GRAFT_DEBUG_BATCH")
+        _tp = time.time()
+
+        def _phase(name: str) -> None:
+            nonlocal _tp
+            if _dbg:
+                print(
+                    f"[batch {batch_id}] {name}: {time.time() - _tp:.1f}s",
+                    flush=True,
+                )
+            _tp = time.time()
+
         cfg = self.cfg
         pcfg = cfg.pipeline
         # df.observe piggybacks input-row count, event-time high-water mark
@@ -182,32 +194,36 @@ class StreamingERJob:
                 ).alias("late")
             )
         obs = Observation(f"batch_{batch_id}")
-        batch_df = batch_df.observe(obs, *obs_cols).persist()
-        n_in = batch_df.count()
-        if n_in == 0:
-            batch_df.unpersist()
-            return
+        observed_df = batch_df.observe(obs, *obs_cols)
 
-        # ---- watermark: drop late rows (event_time older than the
-        # high-water mark minus the allowed delay)
+        # ---- watermark filter first (late rows are counted by the observe
+        # upstream, so they never reach the fingerprint UDF), then prepare.
+        # Persisting PREPARED — audio bytes already consumed and dropped —
+        # instead of the raw batch means the multi-GB binary column is
+        # scanned exactly once per batch and never cached or re-read.
+        on_time = observed_df
+        if threshold is not None:
+            on_time = observed_df.filter(
+                F.unix_timestamp("event_time") >= F.lit(threshold)
+            )
+        prepared = prepare(on_time, pcfg).persist()
+        prepared.count()  # one action: scan + fingerprints + observation
+        _phase("scan+fingerprint+cache")
         observed = obs.get
+        n_in = int(observed["rows"] or 0)
+        if n_in == 0:
+            prepared.unpersist()
+            return
         batch_max = (
             float(observed["max_ts"]) if observed.get("max_ts") is not None else None
         )
-        on_time = batch_df
-        n_late = 0
-        if threshold is not None:
-            on_time = batch_df.filter(
-                F.unix_timestamp("event_time") >= F.lit(threshold)
-            )
-            n_late = int(observed.get("late") or 0)
+        n_late = int(observed.get("late") or 0) if threshold is not None else 0
         candidates = [v for v in (prev_max, batch_max) if v is not None]
         new_max = max(candidates) if candidates else None
 
-        # ---- prepare arrivals, load state of AFFECTED clusters only:
-        # same prefix blocking key OR any shared LSH band key (so a new
-        # clip can bridge into a state cluster whose prefix key diverged)
-        prepared = prepare(on_time, pcfg).persist()
+        # ---- load state of AFFECTED clusters only: same prefix blocking
+        # key OR any shared LSH band key (so a new clip can bridge into a
+        # state cluster whose prefix key diverged)
         rcfg = ClusterRoundConfig(
             min_sim=pcfg.min_sim,
             max_sources=pcfg.max_sources,
@@ -241,7 +257,9 @@ class StreamingERJob:
         # converges to the batch result for the same input
         from ..operators.clustering import cluster_rounds
 
+        _phase("state-join-plan")
         clusters = cluster_rounds(working, rcfg)
+        _phase("cluster-rounds(decomposition)")
         clusters_with_bands = clusters.withColumn("band_keys", band_expr)
         # single full-state write straight into the (uncommitted) version
         # path — it doubles as the lineage cut that the old scratch
@@ -252,6 +270,7 @@ class StreamingERJob:
             else clusters_with_bands.unionByName(untouched),
             batch_id,
         )
+        _phase("merge+state-write")
         # this batch's output = the updated clusters = new_state minus the
         # untouched carry-over. Anti-joining on the (cheap) untouched id set
         # avoids re-executing the cluster_rounds plan — merge included —
@@ -269,6 +288,7 @@ class StreamingERJob:
             shutil.rmtree(out_path)
         # the partition directory supplies batch_id on read (basePath)
         clusters.write.mode("overwrite").parquet(out_path)
+        _phase("output-write")
 
         # ---- state commit + watermark + lineage
         self._commit_state(batch_id)
@@ -289,7 +309,7 @@ class StreamingERJob:
         )
         part_counts.write.mode("overwrite").parquet(lineage_path)
         prepared.unpersist()
-        batch_df.unpersist()
+        _phase("lineage+commit")
 
     # -- query lifecycle ---------------------------------------------------
 

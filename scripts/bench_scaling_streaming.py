@@ -78,7 +78,8 @@ def run_level(cpus: int, zip_path: str) -> dict:
             "spark-submit",
             "--master", f"local[{cpus}]",
             "--driver-memory", os.environ.get("SPARK_DRIVER_MEMORY", "64g"),
-            "--conf", f"spark.sql.shuffle.partitions={cpus}",
+            # shuffle partitions are sized by the job itself (4× cores,
+            # AQE-coalesced) so both levels use the same rule
             "--conf", "spark.sql.session.timeZone=UTC",
             "--conf", "spark.sql.execution.arrow.maxRecordsPerBatch=256",
             "--conf", "spark.sql.columnVector.offheap.enabled=true",
