@@ -40,7 +40,6 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.audio import fingerprint_cosine
 from ..functions.similarity import (
     cosine_trigram_from_sets,
     mean_agg_sim,
@@ -153,39 +152,97 @@ def _round_pairs(
     sim_side = clusters.select(
         "id",
         F.transform(F.col("trigram_set"), lambda t: F.xxhash64(t)).alias("_tg"),
-        *([F.col("fingerprint").alias("_fp")] if use_audio else []),
     )
     scored = pair_ids.join(
-        sim_side.select(
-            F.col("id").alias("src"),
-            F.col("_tg").alias("_stg"),
-            *([F.col("_fp").alias("_sfp")] if use_audio else []),
-        ),
+        sim_side.select(F.col("id").alias("src"), F.col("_tg").alias("_stg")),
         "src",
     ).join(
-        sim_side.select(
-            F.col("id").alias("dst"),
-            F.col("_tg").alias("_dtg"),
-            *([F.col("_fp").alias("_dfp")] if use_audio else []),
-        ),
+        sim_side.select(F.col("id").alias("dst"), F.col("_tg").alias("_dtg")),
         "dst",
     )
-    sims = [
-        cosine_trigram_from_sets(F.col("_stg"), F.col("_dtg")).alias("sim_text")
-    ]
-    if use_audio:
-        sims.append(
-            fingerprint_cosine(F.col("_sfp"), F.col("_dfp")).alias("sim_audio")
-        )
     import os
     import time
 
     _t = time.time()
-    narrow = materialize(scored.select("src", "dst", *sims))
+    # TEXT-only narrow pass first: the trigram cosine is the cheap channel
+    # and bounds the reachable agg_sim — with mean aggregation over two
+    # channels, a pair needs sim_text ≥ 2·min_sim − 1 to pass the threshold
+    # even at a perfect audio sim of 1.0, so the (3× more expensive)
+    # fingerprint aggregates run only on pairs that can still qualify.
+    # The 1e-6 slack keeps the 6dp HALF_UP rounding boundary on the kept
+    # side, so the survivor set is provably identical to scoring both
+    # channels on every pair.
+    narrow = materialize(
+        scored.select(
+            "src",
+            "dst",
+            cosine_trigram_from_sets(F.col("_stg"), F.col("_dtg")).alias(
+                "sim_text"
+            ),
+        )
+    )
     if os.environ.get("SPARK_GRAFT_DEBUG_BATCH"):
         print(f"[rounds] score-pairs-narrow: {time.time() - _t:.1f}s", flush=True)
+    _t = time.time()
+    if use_audio:
+        text_bound = 2.0 * cfg.min_sim - 1.0 - 1e-6
+        cand = narrow.filter(
+            F.col("sim_text").isNull() | (F.col("sim_text") >= text_bound)
+        )
+        # fingerprint norms hoisted out of the pair loop: computed once per
+        # RECORD here, so the per-pair expression is a single dot product —
+        # dot/(‖l‖·‖r‖) is arithmetically identical to fingerprint_cosine
+        fp_side = clusters.select(
+            "id",
+            F.col("fingerprint").alias("_fp"),
+            F.sqrt(
+                F.aggregate(
+                    F.col("fingerprint"),
+                    F.lit(0.0),
+                    lambda acc, x: acc + (x * x).cast("double"),
+                )
+            ).alias("_fpn"),
+        )
+        dot = F.aggregate(
+            F.zip_with(
+                F.col("_sfp"), F.col("_dfp"), lambda a, b: (a * b).cast("double")
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sim_audio = F.round(
+            F.when(
+                F.col("_sfp").isNotNull()
+                & F.col("_dfp").isNotNull()
+                & (F.col("_sn") > 0)
+                & (F.col("_dn") > 0),
+                dot / (F.col("_sn") * F.col("_dn")),
+            ),
+            6,
+        )
+        scored_full = (
+            cand.join(
+                fp_side.select(
+                    F.col("id").alias("src"),
+                    F.col("_fp").alias("_sfp"),
+                    F.col("_fpn").alias("_sn"),
+                ),
+                "src",
+            )
+            .join(
+                fp_side.select(
+                    F.col("id").alias("dst"),
+                    F.col("_fp").alias("_dfp"),
+                    F.col("_fpn").alias("_dn"),
+                ),
+                "dst",
+            )
+            .select("src", "dst", "sim_text", sim_audio.alias("sim_audio"))
+        )
+    else:
+        scored_full = narrow
     sim_cols = [F.col("sim_text")] + ([F.col("sim_audio")] if use_audio else [])
-    survivors = narrow.withColumn(
+    survivors = scored_full.withColumn(
         "agg_sim", mean_agg_sim(*sim_cols, scale=6)
     ).filter(F.col("agg_sim") >= cfg.min_sim)
     side = clusters.select("id", "blocking_key", *[F.col(c) for c in payload])
@@ -496,9 +553,26 @@ def cluster_rounds(
                 F.concat_ws("|", F.col("cc").cast("string"), F.col("blocking_key"))
             ),
         )
-        .drop("cc", "_cc_n")
     )
-    merged = merge_components(clusters, cfg)
+    # singleton components (no surviving candidate edge) can never merge —
+    # route them around the grouped-map Python stage; they are the largest
+    # group population and each group costs an Arrow batch + pandas frame
+    keep_cols = [
+        c
+        for c in (
+            "id",
+            "members",
+            "sources_mask",
+            "label",
+            "blocking_key",
+            "n_members",
+            "fingerprint",
+        )
+        if c in clusters.columns
+    ]
+    singletons = clusters.filter(F.col("_cc_n") == 1).select(*keep_cols)
+    multi = clusters.filter(F.col("_cc_n") > 1).drop("cc", "_cc_n")
+    merged = merge_components(multi, cfg).unionByName(singletons)
     from ..functions.text import music_blocking_label
 
     return merged.withColumn(

@@ -13,10 +13,18 @@ INITIAL_CLUSTERING / VERTEX_ADDITION) as a Structured Streaming job:
   Keys without arrivals are untouched — the micro-batch cost scales with
   the batch, not the corpus (the reference recomputes per affected key
   group too: VERTEX_ADDITION unions representatives ∪ new vertices).
-* state: versioned parquet snapshots ``state_dir/v=<batch_id>`` with a
-  commit marker; a replayed batch finds the previous version intact and —
-  the pipeline being deterministic — rewrites byte-identical output
-  (exactly-once effect on the sink).
+* state: log-structured parquet versions — per batch a DELTA
+  ``state_dir/d=<batch_id>`` holding only the updated clusters (``rows/``)
+  plus the ids consumed from prior state (``removed/`` tombstones), with a
+  periodic full-snapshot compaction ``state_dir/v=<batch_id>`` every
+  ``compact_every`` batches. Per-batch state I/O therefore scales with the
+  BATCH (touched clusters), not the corpus — at 10^12 clips a full-state
+  rewrite per micro-batch would dwarf the actual work. Readers reconstruct
+  ``state = base ∘ deltas`` (anti-join tombstones, union rows; tombstone
+  sets are batch-sized → broadcast anti-joins). Every version stays
+  invisible until its commit marker lands; a replayed batch finds the
+  previous versions intact and — the pipeline being deterministic —
+  rewrites byte-identical output (exactly-once effect on the sink).
 * sink: output partitioned by ``batch_id``; a replay overwrites its own
   partition only (idempotent commit keyed by batchId — the Iceberg
   overwrite-by-filter pattern).
@@ -58,6 +66,10 @@ class StreamingERConfig:
     work_dir: str                      # holds state/, output/, lineage/, checkpoint/
     watermark_delay_sec: int = 600
     max_files_per_trigger: int = 4
+    # full-snapshot compaction cadence: every Nth committed batch folds the
+    # delta chain into a new base (amortized O(state/N) write per batch);
+    # between compactions a batch writes only its touched clusters
+    compact_every: int = 8
     pipeline: PipelineConfig = field(default_factory=PipelineConfig)
 
     @property
@@ -87,45 +99,120 @@ class StreamingERJob:
         os.makedirs(cfg.output_dir, exist_ok=True)
         os.makedirs(cfg.lineage_dir, exist_ok=True)
 
-    # -- state store -------------------------------------------------------
+    # -- state store (log-structured: deltas + periodic compaction) --------
 
-    def _committed_versions(self) -> list[int]:
+    def _state_entries(self) -> list[tuple[int, str]]:
+        """Committed state entries as (batch_id, kind), kind ∈ {'full',
+        'delta'}, ascending by batch. A compaction batch leaves only its
+        ``v=`` dir (its scratch delta is removed at commit)."""
         out = []
         for d in os.listdir(self.cfg.state_dir):
-            if d.startswith("v=") and os.path.exists(
+            if (d.startswith("v=") or d.startswith("d=")) and os.path.exists(
                 os.path.join(self.cfg.state_dir, d, "_COMMITTED")
             ):
-                out.append(int(d[2:]))
+                out.append((int(d[2:]), "full" if d.startswith("v=") else "delta"))
         return sorted(out)
 
-    def _load_state(self, before_batch: int) -> DataFrame | None:
-        versions = [v for v in self._committed_versions() if v < before_batch]
-        if not versions:
-            return None
-        path = os.path.join(self.cfg.state_dir, f"v={versions[-1]}")
-        return self.spark.read.parquet(path)
+    def _committed_versions(self) -> list[int]:
+        return [b for b, _ in self._state_entries()]
 
-    def _write_state(self, state: DataFrame, batch_id: int) -> DataFrame:
-        """Write the new state version ONCE (no scratch materialize copy —
-        the versioned path IS the lineage cut) and return the read-back.
-        The version stays uncommitted until ``_commit_state``; a crash
-        before the marker leaves it invisible to ``_load_state`` and a
-        deterministic replay rewrites it."""
+    def _marker_total(self, batch_id: int, kind: str) -> int | None:
+        prefix = "v" if kind == "full" else "d"
+        path = os.path.join(
+            self.cfg.state_dir, f"{prefix}={batch_id}", "_COMMITTED"
+        )
+        try:
+            with open(path) as f:
+                return int(json.load(f)["n_clusters_total"])
+        except (OSError, ValueError, KeyError, TypeError):
+            return None
+
+    def _load_state(self, before_batch: int) -> DataFrame | None:
+        """Reconstruct the cluster state as of just before ``before_batch``:
+        latest full snapshot, then each newer delta applied in batch order
+        (drop its tombstoned ids, union its rows). Tombstone sets are
+        batch-sized, so the anti-joins broadcast."""
+        entries = [(b, k) for b, k in self._state_entries() if b < before_batch]
+        if not entries:
+            return None
+        fulls = [b for b, k in entries if k == "full"]
+        if not fulls:
+            raise RuntimeError(
+                "state store has deltas but no base snapshot — compaction "
+                "retirement removed too much"
+            )
+        base = max(fulls)
+        state = self.spark.read.parquet(
+            os.path.join(self.cfg.state_dir, f"v={base}")
+        )
+        for b, kind in entries:
+            if kind != "delta" or b <= base:
+                continue
+            droot = os.path.join(self.cfg.state_dir, f"d={b}")
+            tomb = self.spark.read.parquet(os.path.join(droot, "removed"))
+            rows = self.spark.read.parquet(os.path.join(droot, "rows"))
+            state = state.join(tomb, "id", "left_anti").unionByName(rows)
+        return state
+
+    def _write_delta(
+        self, rows: DataFrame, tombstone_ids: DataFrame, batch_id: int
+    ) -> tuple[DataFrame, DataFrame]:
+        """Write this batch's state delta (uncommitted) and return the
+        (rows, removed) read-backs — the write doubles as the lineage cut
+        over the clustering plan, so downstream consumers (output sink,
+        counts, compaction) never re-execute it."""
         from ..util import materialize
 
+        droot = os.path.join(self.cfg.state_dir, f"d={batch_id}")
+        if os.path.exists(droot):
+            shutil.rmtree(droot)  # replay: half-written delta is discarded
+        removed = materialize(tombstone_ids, path=os.path.join(droot, "removed"))
+        return materialize(rows, path=os.path.join(droot, "rows")), removed
+
+    def _write_full(self, state: DataFrame, batch_id: int) -> None:
+        """Compaction: write the fully reconstructed state (uncommitted)."""
         path = os.path.join(self.cfg.state_dir, f"v={batch_id}")
         if os.path.exists(path):
-            shutil.rmtree(path)  # replay: half-written version is discarded
-        return materialize(state, path=path)
+            shutil.rmtree(path)
+        state.write.mode("overwrite").parquet(path)
 
-    def _commit_state(self, batch_id: int) -> None:
-        path = os.path.join(self.cfg.state_dir, f"v={batch_id}")
-        with open(os.path.join(path, "_COMMITTED"), "w") as f:
-            f.write(str(batch_id))
-        # retire superseded versions (keep the last two for debugging)
-        for v in self._committed_versions()[:-2]:
-            shutil.rmtree(os.path.join(self.cfg.state_dir, f"v={v}"),
-                          ignore_errors=True)
+    def _commit_state(
+        self, batch_id: int, compacted: bool, n_clusters_total: int
+    ) -> None:
+        marker = json.dumps(
+            {"batch_id": batch_id, "n_clusters_total": n_clusters_total}
+        )
+        if compacted:
+            with open(
+                os.path.join(self.cfg.state_dir, f"v={batch_id}", "_COMMITTED"),
+                "w",
+            ) as f:
+                f.write(marker)
+            # the scratch delta is folded into the snapshot
+            shutil.rmtree(
+                os.path.join(self.cfg.state_dir, f"d={batch_id}"),
+                ignore_errors=True,
+            )
+        else:
+            with open(
+                os.path.join(self.cfg.state_dir, f"d={batch_id}", "_COMMITTED"),
+                "w",
+            ) as f:
+                f.write(marker)
+        # retire superseded history: keep the last two snapshots plus every
+        # delta at/after the older of them (enough to replay the last batch
+        # and debug one compaction generation back)
+        entries = self._state_entries()
+        fulls = [b for b, k in entries if k == "full"]
+        if len(fulls) >= 2:
+            keep_from = fulls[-2]
+            for b, kind in entries:
+                if b < keep_from:
+                    prefix = "v" if kind == "full" else "d"
+                    shutil.rmtree(
+                        os.path.join(self.cfg.state_dir, f"{prefix}={b}"),
+                        ignore_errors=True,
+                    )
 
     @staticmethod
     def _band_keys_expr(rcfg: ClusterRoundConfig):
@@ -246,10 +333,9 @@ class StreamingERJob:
             )
             touched_ids = by_key.unionByName(by_band).distinct()
             touched = state.join(touched_ids, "id", "left_semi").drop("band_keys")
-            untouched = state.join(touched_ids, "id", "left_anti")
             working = touched.unionByName(arrivals, allowMissingColumns=True)
         else:
-            untouched = None
+            touched_ids = None
             working = arrivals
 
         # ---- cluster the working set: same decomposition + reciprocal-
@@ -261,26 +347,50 @@ class StreamingERJob:
         clusters = cluster_rounds(working, rcfg)
         _phase("cluster-rounds(decomposition)")
         clusters_with_bands = clusters.withColumn("band_keys", band_expr)
-        # single full-state write straight into the (uncommitted) version
-        # path — it doubles as the lineage cut that the old scratch
-        # materialize provided, halving per-batch state I/O
-        new_state = self._write_state(
-            clusters_with_bands
-            if untouched is None
-            else clusters_with_bands.unionByName(untouched),
-            batch_id,
+        # ---- delta state write: only this batch's updated clusters plus
+        # the tombstones of the state rows pulled into the working set —
+        # per-batch state I/O scales with the batch, never the corpus. The
+        # write doubles as the lineage cut over the clustering plan.
+        tomb = (
+            touched_ids
+            if touched_ids is not None
+            else arrivals.select("id").limit(0)
         )
-        _phase("merge+state-write")
-        # this batch's output = the updated clusters = new_state minus the
-        # untouched carry-over. Anti-joining on the (cheap) untouched id set
-        # avoids re-executing the cluster_rounds plan — merge included —
-        # a second time just to list the touched ids.
-        if untouched is None:
-            clusters = new_state.drop("band_keys")
+        new_rows, removed = self._write_delta(clusters_with_bands, tomb, batch_id)
+        _phase("merge+delta-write")
+        # cluster-count bookkeeping rides the commit markers: total' =
+        # total − |tombstones| + |new rows| (counts over the just-written
+        # tiny parquet files — footer metadata, no data scan)
+        n_new, n_removed = new_rows.count(), removed.count()
+        prev_entries = [
+            (b, k) for b, k in self._state_entries() if b < batch_id
+        ]
+        if prev_entries:
+            prev_total = self._marker_total(*prev_entries[-1])
+            if prev_total is None and state is not None:
+                prev_total = state.count()
+            prev_total = prev_total or 0
         else:
-            clusters = new_state.join(
-                untouched.select("id"), "id", "left_anti"
-            ).drop("band_keys")
+            prev_total = 0
+        n_clusters = prev_total - n_removed + n_new
+        # ---- periodic compaction: fold the delta chain into a snapshot
+        fulls_before = [b for b, k in prev_entries if k == "full"]
+        deltas_since = [
+            b
+            for b, k in prev_entries
+            if k == "delta" and (not fulls_before or b > fulls_before[-1])
+        ]
+        compacted = state is None or len(deltas_since) + 1 >= cfg.compact_every
+        if compacted:
+            full = (
+                new_rows
+                if state is None
+                else state.join(removed, "id", "left_anti").unionByName(new_rows)
+            )
+            self._write_full(full, batch_id)
+            _phase("compaction-write")
+        # this batch's output = exactly the delta rows
+        clusters = new_rows.drop("band_keys")
 
         # ---- exactly-once sink: overwrite THIS batch's partition only
         out_path = os.path.join(cfg.output_dir, f"batch_id={batch_id}")
@@ -291,10 +401,9 @@ class StreamingERJob:
         _phase("output-write")
 
         # ---- state commit + watermark + lineage
-        self._commit_state(batch_id)
+        self._commit_state(batch_id, compacted, n_clusters)
         if new_max is not None:
             self._save_max_event_time(new_max)
-        n_clusters = new_state.count()
         lineage_path = os.path.join(cfg.lineage_dir, f"batch_id={batch_id}")
         if os.path.exists(lineage_path):
             shutil.rmtree(lineage_path)
@@ -343,9 +452,7 @@ class StreamingERJob:
         versions = self._committed_versions()
         if not versions:
             return None
-        return self.spark.read.parquet(
-            os.path.join(self.cfg.state_dir, f"v={versions[-1]}")
-        )
+        return self._load_state(versions[-1] + 1)
 
     def output(self) -> DataFrame:
         return self.spark.read.option("basePath", self.cfg.output_dir).parquet(

@@ -106,18 +106,20 @@ def run_level(cpus: int, zip_path: str) -> dict:
         raise SystemExit(f"streaming level {cpus} failed")
 
     # hash the final committed state (cluster id + sorted members),
-    # order-insensitively, in a tiny local session
+    # order-insensitively, in a tiny local session; reconstruct it through
+    # the engine's own state API (base snapshot ∘ delta chain)
     from mapping_analysis_spark.session import get_spark
+    from mapping_analysis_spark.streaming.engine import (
+        StreamingERConfig,
+        StreamingERJob,
+    )
     from pyspark.sql import functions as F
 
     spark = get_spark(f"stream-hash-{cpus}", cpus=4)
-    versions = sorted(
-        int(d[2:])
-        for d in os.listdir(os.path.join(work, "state"))
-        if d.startswith("v=")
-        and os.path.exists(os.path.join(work, "state", d, "_COMMITTED"))
+    job = StreamingERJob(
+        spark, StreamingERConfig(source_dir=CORPUS, work_dir=work)
     )
-    state = spark.read.parquet(os.path.join(work, "state", f"v={versions[-1]}"))
+    state = job.final_state()
     agg = (
         state.select(
             F.xxhash64(

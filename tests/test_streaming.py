@@ -166,6 +166,42 @@ def test_checkpoint_resume(spark, corpus, tmp_path):
     assert got_members == ref_members
 
 
+def test_delta_state_compaction(spark, corpus, tmp_path):
+    """The state store is log-structured: non-compaction batches write only
+    their touched clusters + tombstones (d=<batch>), every ``compact_every``
+    batches folds the chain into a full snapshot (v=<batch>), and the
+    reconstructed final state covers every clip exactly once."""
+    source_dir, _ = corpus
+    work = str(tmp_path / "work")
+    cfg = StreamingERConfig(
+        source_dir=source_dir,
+        work_dir=work,
+        watermark_delay_sec=24 * 3600,
+        max_files_per_trigger=1,
+        compact_every=2,
+        pipeline=PipelineConfig(min_sim=0.7),
+    )
+    job = StreamingERJob(spark, cfg)
+    q = job.start(available_now=True)
+    q.awaitTermination(600)
+    entries = job._state_entries()
+    kinds = dict(entries)
+    # batch 0 bootstraps a snapshot; with compact_every=2 the cadence is
+    # full, delta, full, delta, ...
+    assert kinds[0] == "full"
+    for b, k in entries:
+        assert k == ("full" if b % 2 == 0 else "delta")
+    # a delta holds only the touched clusters, not the whole corpus
+    assert any(k == "delta" for _, k in entries)
+    # commit-marker bookkeeping equals the reconstructed state's size
+    state = job.final_state()
+    last_b, last_k = entries[-1]
+    assert job._marker_total(last_b, last_k) == state.count()
+    flat = [m for r in state.select("members").collect() for m in r.members]
+    total = spark.read.parquet(source_dir).count()
+    assert len(flat) == len(set(flat)) == total
+
+
 def test_lineage_written(spark, corpus, tmp_path):
     source_dir, _ = corpus
     job = _run_job(spark, source_dir, str(tmp_path / "work"))
