@@ -638,6 +638,53 @@ def q_nc_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal image channel: synthesize the deterministic XIMG binary
+    per document NATIVELY (hex assembly → to_binary, no Python), decode it
+    back via the Arrow mapInPandas seam, emit typed metadata + the exact
+    pixel checksum. The oracle recomputes width/height/px_sum in closed
+    form from doc_id — so a hash match proves the decode actually read the
+    bytes the JVM synthesized (operators/multimodal.py)."""
+    from mapping_analysis_spark.operators.multimodal import (
+        decode_image_meta,
+        synth_image_bytes,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    imgs = docs.select(
+        F.col("doc_id").alias("id"),
+        synth_image_bytes(F.col("doc_id")).alias("image"),
+    )
+    return decode_image_meta(imgs).select(
+        F.col("id").alias("doc_id"),
+        "width",
+        "height",
+        "format",
+        "n_pixels",
+        "px_sum",
+    )
+
+
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal video channel: XVID container per document, every-3rd
+    frame sampled by a partition-local mapInPandas explode; emits
+    (doc_id, frame_idx, frame_sum). frame_sum is the exact byte checksum
+    of the sampled frame, recomputable in closed form by the oracle."""
+    from mapping_analysis_spark.operators.multimodal import (
+        sample_frames,
+        synth_video_bytes,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    vids = docs.select(
+        F.col("doc_id").alias("id"),
+        synth_video_bytes(F.col("doc_id")).alias("video"),
+    )
+    return sample_frames(vids, every=3).select(
+        F.col("id").alias("doc_id"), "frame_idx", "frame_sum"
+    )
+
+
 def q_er_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship iterative max-both ER clustering on documents (rows-only:
     iterative algorithm, not single-query SQL)."""
@@ -688,6 +735,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_documents": q_er_documents,
         "geo_er": q_geo_er,
         "nc_candidates": q_nc_candidates,
+        "image_meta": q_image_meta,
+        "video_frames": q_video_frames,
     }
 
 
@@ -1240,6 +1289,30 @@ def oracle_sql() -> dict[str, str]:
           join fp f1 on f1.doc_id = c.src
           join fp f2 on f2.doc_id = c.dst)
         where hamming <= 3
+    """
+
+    sqls["image_meta"] = """
+        select doc_id,
+               (8 + doc_id % 9)::INTEGER as width,
+               (8 + (doc_id * 3) % 7)::INTEGER as height,
+               'ximg' as format,
+               ((8 + doc_id % 9) * (8 + (doc_id * 3) % 7))::INTEGER as n_pixels,
+               list_sum(list_transform(
+                 range(0, (8 + doc_id % 9) * (8 + (doc_id * 3) % 7)),
+                 i -> (doc_id * 31 + i * 7) % 256))::BIGINT as px_sum
+        from documents
+    """
+
+    sqls["video_frames"] = """
+        with f as (
+          select doc_id,
+                 unnest(range(0, 4 + doc_id % 12, 3)) as fi
+          from documents)
+        select doc_id, fi::INTEGER as frame_idx,
+               list_sum(list_transform(
+                 range(0, 64), i -> (doc_id + fi * 13 + i * 7) % 256))::BIGINT
+                 as frame_sum
+        from f
     """
 
     return sqls
