@@ -638,6 +638,34 @@ def q_nc_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (similarity_search.ivf_topk): 8 closed-form
+    coarse centroids (the corpus vectors with vec_id 5..12, in id order —
+    deterministic, so the oracle rebuilds the identical cells), corpus
+    assigned to argmax-cosine cell in one scan, each query probes its 2
+    best cells, exact cosine within probed cells. The oracle replays the
+    same assignment, probe ranking (sim desc / cell desc — the array_sort+
+    reverse order), and tie-breaks in SQL."""
+    from mapping_analysis_spark.operators.similarity_search import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    cent_rows = (
+        corpus.filter(F.col("vec_id") < 13)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    centroids = [list(r.embedding) for r in cent_rows]
+    res = ivf_topk(corpus, queries, centroids, k=10, n_probe=2)
+    return res.select(
+        "query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
 def q_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal image channel: synthesize the deterministic XIMG binary
     per document NATIVELY (hex assembly → to_binary, no Python), decode it
@@ -735,6 +763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_documents": q_er_documents,
         "geo_er": q_geo_er,
         "nc_candidates": q_nc_candidates,
+        "ivf_topk": q_ivf_topk,
         "image_meta": q_image_meta,
         "video_frames": q_video_frames,
     }
@@ -1289,6 +1318,40 @@ def oracle_sql() -> dict[str, str]:
           join fp f1 on f1.doc_id = c.src
           join fp f2 on f2.doc_id = c.dst)
         where hamming <= 3
+    """
+
+    sqls["ivf_topk"] = f"""
+        with cent as (
+          select (vec_id - 5)::INTEGER as cell, embedding from embeddings
+          where vec_id >= 5 and vec_id < 13),
+        c as (select vec_id, embedding from embeddings where vec_id >= 5),
+        casg as (
+          select vec_id, cell from (
+            select c.vec_id, cent.cell,
+                   row_number() over (partition by c.vec_id order by
+                     {_cosine_sql('c.embedding', 'cent.embedding')} desc,
+                     cent.cell asc) as rn
+            from c cross join cent) where rn = 1),
+        q as (select vec_id as query_id, embedding as qe from embeddings
+              where vec_id < 5),
+        qp as (
+          select query_id, qe, cell from (
+            select q.query_id, q.qe, cent.cell,
+                   row_number() over (partition by q.query_id order by
+                     {_cosine_sql('qe', 'cent.embedding')} desc,
+                     cent.cell desc) as rn
+            from q cross join cent) where rn <= 2),
+        scored as (
+          select qp.query_id, c.vec_id,
+                 {_cosine_sql('qp.qe', 'c.embedding')} as cosine_raw
+          from c join casg on c.vec_id = casg.vec_id
+                join qp on casg.cell = qp.cell),
+        r as (select query_id, vec_id, cosine_raw,
+                     row_number() over (partition by query_id
+                       order by cosine_raw desc, vec_id asc) as rank
+              from scored)
+        select query_id, vec_id, round(cosine_raw, 6) as cosine, rank
+        from r where rank <= 10
     """
 
     sqls["image_meta"] = """
