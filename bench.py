@@ -72,6 +72,9 @@ def main() -> None:
         "quality_score",
         "language_id",
         "embedding_topk",
+        "ivf_topk",
+        "image_meta",
+        "video_frames",
         "cc_orders",
         "max_both",
         "session_window",
