@@ -290,3 +290,41 @@ def test_ann_topk_recall_vs_exact(spark):
     # the true top-1 is the near-identical twin: it collides in the same
     # sign bucket with high probability; seeded, so deterministic
     assert recall >= 0.7, recall
+
+
+def test_ivf_topk_probe_all_equals_exact(spark):
+    """With n_probe = n_cells, IVF degenerates to exact search: every query
+    scans every cell, so the top-k (cosine desc, id asc) must equal the
+    brute-force baseline bit-for-bit."""
+    from mapping_analysis_spark.operators.similarity_search import (
+        brute_force_topk,
+        ivf_topk,
+        sample_centroids,
+    )
+
+    df = _near_dup_vectors(spark, n=60)
+    queries = df.filter(F.col("vec_id") % 2 == 1).limit(8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = df.filter(F.col("vec_id") % 2 == 0)
+    cents = sample_centroids(corpus, 4)
+    exact = [
+        (r.query_id, r.vec_id, r.rank)
+        for r in brute_force_topk(corpus, queries, k=3)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    ivf_all = [
+        (r.query_id, r.vec_id, r.rank)
+        for r in ivf_topk(corpus, queries, cents, k=3, n_probe=4)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    assert ivf_all == exact
+    # and the pruned path (n_probe=2) keeps decent recall on this corpus
+    ivf_pruned = {
+        (r.query_id, r.vec_id)
+        for r in ivf_topk(corpus, queries, cents, k=3, n_probe=2).collect()
+    }
+    recall = len(ivf_pruned & {(q, v) for q, v, _ in exact}) / len(exact)
+    assert recall >= 0.6, recall
