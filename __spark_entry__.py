@@ -713,6 +713,73 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized Levenshtein similarity (the north-star's second
+    transcript channel) on salted prefix-blocked document pairs —
+    JVM-native F.levenshtein, capped at 64 chars (O(n·m) per pair)."""
+    from mapping_analysis_spark.functions.similarity import levenshtein_sim
+    from mapping_analysis_spark.operators.blocking import salted_block_pairs
+    from mapping_analysis_spark.operators.dedup import normalize_text
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        F.col("doc_id").alias("_id"),
+        F.substring(normalize_text(F.col("text")), 1, 8).alias("_k"),
+        F.substring(normalize_text(F.col("text")), 1, 64).alias("_s"),
+    )
+    pairs = salted_block_pairs(
+        base.select("_id", "_k"), key_col="_k", id_col="_id", max_block_rows=256
+    ).select("src", "dst")
+    s = base.select("_id", "_s")
+    return (
+        pairs.join(s.select(F.col("_id").alias("src"), F.col("_s").alias("_sl")), "src")
+        .join(s.select(F.col("_id").alias("dst"), F.col("_s").alias("_sr")), "dst")
+        .select(
+            "src",
+            "dst",
+            levenshtein_sim(F.col("_sl"), F.col("_sr")).alias("lev_sim"),
+        )
+        .filter(F.col("lev_sim") >= 0.5)
+    )
+
+
+def q_soundex_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soundex-style phonetic blocking keys (north-star "soundex-style
+    prefix blocking") over part-name head words; key histogram."""
+    from mapping_analysis_spark.functions.text import phonetic_key
+
+    parts = _t(spark, sf_dir, "part")
+    first_word = F.element_at(F.split(F.col("p_name"), " "), 1)
+    return (
+        parts.select(phonetic_key(first_word).alias("pk"))
+        .groupBy("pk")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_cep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP sequence pattern view→click→purchase (strict contiguity per
+    user, ≤ 24h span) over the events stream table — MATCH_RECOGNIZE
+    semantics via lead() windows, one exchange on user_id."""
+    from mapping_analysis_spark.operators.cep import sequence_pattern
+
+    events = _t(spark, sf_dir, "events")
+    out = sequence_pattern(
+        events, ["view", "click", "purchase"], within_sec=24 * 3600
+    )
+    # exact epoch-microsecond longs (timestamp pandas dtypes differ between
+    # arrow and duckdb; integers compare bit-exactly)
+    return out.select(
+        "user_id",
+        "e1",
+        "e2",
+        "e3",
+        F.unix_micros(F.col("start_ts").cast("timestamp")).alias("start_us"),
+        F.unix_micros(F.col("end_ts").cast("timestamp")).alias("end_us"),
+        "span_us",
+    )
+
+
 def q_er_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship iterative max-both ER clustering on documents (rows-only:
     iterative algorithm, not single-query SQL)."""
@@ -766,6 +833,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "image_meta": q_image_meta,
         "video_frames": q_video_frames,
+        "levenshtein_pairs": q_levenshtein_pairs,
+        "soundex_keys": q_soundex_keys,
+        "cep_funnel": q_cep_funnel,
     }
 
 
@@ -1364,6 +1434,62 @@ def oracle_sql() -> dict[str, str]:
                  range(0, (8 + doc_id % 9) * (8 + (doc_id * 3) % 7)),
                  i -> (doc_id * 31 + i * 7) % 256))::BIGINT as px_sum
         from documents
+    """
+
+    sqls["levenshtein_pairs"] = f"""
+        with d as (
+          select doc_id, substring({_NORM}, 1, 8) as k,
+                 substring({_NORM}, 1, 64) as s
+          from documents)
+        select src, dst, lev_sim from (
+          select a.doc_id as src, b.doc_id as dst,
+                 round(case when greatest(length(a.s), length(b.s)) = 0
+                       then 1.0
+                       else 1.0 - levenshtein(a.s, b.s)::DOUBLE
+                            / greatest(length(a.s), length(b.s)) end, 6)
+                 as lev_sim
+          from d a join d b on a.k = b.k and a.doc_id < b.doc_id)
+        where lev_sim >= 0.5
+    """
+
+    # soundex-style phonetic key: the SAME primitive chain as
+    # functions.text.phonetic_key, replayed in DuckDB dialect
+    _collapse = "coded"
+    for d in "0123456":
+        _collapse = f"regexp_replace({_collapse}, '{d}{d}+', '{d}', 'g')"
+    sqls["soundex_keys"] = f"""
+        with w as (select string_split(p_name, ' ')[1] as w1 from part),
+        n as (select regexp_replace(lower(w1), '[^a-z]', '', 'g') as norm
+              from w),
+        c as (select norm, translate(norm, 'abcdefghijklmnopqrstuvwxyz',
+                                     '01230120022455012623010202') as coded
+              from n),
+        l as (select norm, {_collapse} as collapsed from c),
+        t as (select norm, replace(substring(collapsed, 2), '0', '') as tail
+              from l)
+        select case when length(norm) > 0
+               then upper(substring(norm, 1, 1))
+                    || rpad(substring(tail, 1, 3), 3, '0') end as pk,
+               count(*) as n
+        from t group by 1
+    """
+
+    sqls["cep_funnel"] = """
+        with e as (
+          select user_id, ts, event_type, event_id,
+                 lead(event_type, 1) over w as t1,
+                 lead(event_id, 1) over w as i1,
+                 lead(event_type, 2) over w as t2,
+                 lead(event_id, 2) over w as i2,
+                 lead(ts, 2) over w as ts2
+          from events
+          window w as (partition by user_id order by ts, event_id))
+        select user_id, event_id as e1, i1 as e2, i2 as e3,
+               epoch_us(ts) as start_us, epoch_us(ts2) as end_us,
+               epoch_us(ts2) - epoch_us(ts) as span_us
+        from e
+        where event_type = 'view' and t1 = 'click' and t2 = 'purchase'
+          and epoch_us(ts2) - epoch_us(ts) <= 86400::BIGINT * 1000000
     """
 
     sqls["video_frames"] = """

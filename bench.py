@@ -80,6 +80,9 @@ def main() -> None:
         "session_window",
         "tumbling_window",
         "pricing_summary",
+        "levenshtein_pairs",
+        "cep_funnel",
+        "soundex_keys",
     ]
     qs = entrymod.queries()
     for name in bench_queries:

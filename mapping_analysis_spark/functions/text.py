@@ -92,6 +92,46 @@ def nc_blocking_label(name: Column, surname: Column, blocking_length: int = 4) -
     )
 
 
+# soundex consonant codes for a..z (b,f,p,v→1; c,g,j,k,q,s,x,z→2; d,t→3;
+# l→4; m,n→5; r→6; vowels + h,w,y → 0)
+_SOUNDEX_CODES = "01230120022455012623010202"
+
+
+def phonetic_key(col: Column, digits: int = 3) -> Column:
+    """Soundex-style phonetic blocking key (north-star: "LSH/soundex-style
+    prefix blocking").
+
+    Algorithm (a deterministic simplified soundex, defined here rather than
+    borrowed from any library so the same chain of string primitives can be
+    replayed verbatim by an external SQL engine for verification):
+
+    1. lowercase, strip non-letters;
+    2. code EVERY letter with the classic soundex consonant classes
+       (vowels/h/w/y → 0);
+    3. collapse adjacent equal codes (this merges run-on consonants into
+       the leading letter's code, as classic soundex does);
+    4. key = uppercase first letter + the next ``digits`` non-zero codes
+       after the first position, right-padded with '0';
+    5. null for inputs with no letters.
+
+    Entirely native Columns (lower/regexp/translate/rpad) — codegen'd,
+    no Python. Differs from classic soundex only in the h/w
+    "transparent separator" corner rule, which needs lookbehind state
+    that neither Spark nor portable SQL regexes express.
+    """
+    norm = F.regexp_replace(F.lower(col), "[^a-z]", "")
+    coded = F.translate(norm, "abcdefghijklmnopqrstuvwxyz", _SOUNDEX_CODES)
+    collapsed = coded
+    for d in "0123456":
+        collapsed = F.regexp_replace(collapsed, d + d + "+", d)
+    tail = F.translate(F.substring(collapsed, 2, 1 << 30), "0", "")
+    key = F.concat(
+        F.upper(F.substring(norm, 1, 1)),
+        F.rpad(F.substring(tail, 1, digits), digits, "0"),
+    )
+    return F.when(F.length(norm) > 0, key)
+
+
 def artist_title_album(artist: Column, label: Column, album: Column) -> Column:
     """Concatenate sane(artist, label, album) with " - " then simplify
     (Utils.createSimpleArtistTitleAlbum, Utils.java:760-788). The " - "

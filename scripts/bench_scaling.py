@@ -116,6 +116,18 @@ def run_level(cpus: int) -> dict:
     }
 
 
+def _ceiling_probe(procs: int) -> float:
+    """Same-moment hardware ceiling: units/sec of a perfectly parallel,
+    engine-free numpy FFT pool at ``procs`` processes (see
+    bench_hw_ceiling.py). Run immediately before each engine run so the
+    engine's measured efficiency can be normalized by what the shared-VM
+    host physically allowed AT THAT TIME."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from bench_hw_ceiling import _run
+
+    return _run(procs)
+
+
 def main() -> None:
     if "--run" in sys.argv:
         cpus = int(sys.argv[sys.argv.index("--run") + 1])
@@ -130,13 +142,21 @@ def main() -> None:
     )
     reps = int(os.environ.get("SCALING_REPS", "2"))
     results: dict[int, dict] = {}
+    ceilings: dict[int, float] = {}
     for rep in range(reps):
         for cpus in levels:
+            ceilings[cpus] = max(ceilings.get(cpus, 0.0), _ceiling_probe(cpus))
+            print(
+                f"[rep {rep}] ceiling probe local[{cpus}]: "
+                f"{ceilings[cpus]:.1f} units/s (best so far)",
+                flush=True,
+            )
+            t_start = time.time()
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--run", str(cpus)],
                 capture_output=True,
                 text=True,
-                timeout=int(os.environ.get("SCALING_TIMEOUT", "7200")),
+                timeout=int(os.environ.get("SCALING_TIMEOUT", "10800")),
             )
             line = [l for l in proc.stdout.splitlines() if l.startswith("RESULT ")]
             if not line:
@@ -144,6 +164,11 @@ def main() -> None:
                 print(proc.stderr[-3000:], file=sys.stderr)
                 raise SystemExit(f"level {cpus} failed")
             r = json.loads(line[-1][len("RESULT "):])
+            print(
+                f"[rep {rep}] local[{cpus}]: {r['elapsed_sec']}s"
+                f" ({r['clips_per_sec']} clips/s, wall {time.time() - t_start:.0f}s)",
+                flush=True,
+            )
             prev = results.get(cpus)
             if prev is not None and prev["output_hash"] != r["output_hash"]:
                 raise SystemExit(f"output hash differs across reps at {cpus}")
@@ -155,6 +180,7 @@ def main() -> None:
         rn["n_clusters"] == r4n["n_clusters"]
     )
     efficiency = (r4n["clips_per_sec"] / rn["clips_per_sec"]) / 4.0
+    ceiling_eff = ceilings[levels[1]] / ceilings[levels[0]] / 4.0
     summary = {
         "n_clips": rn["n_clips"],
         f"local{levels[0]}": rn,
@@ -163,6 +189,13 @@ def main() -> None:
         "identical_output": identical,
         "speedup_n_to_4n": round(r4n["clips_per_sec"] / rn["clips_per_sec"], 3),
         "scaling_efficiency": round(efficiency, 3),
+        "hw_ceiling_units_per_sec": {
+            str(c): round(v, 1) for c, v in ceilings.items()
+        },
+        "hw_ceiling_efficiency": round(ceiling_eff, 3),
+        "efficiency_vs_ceiling": round(min(efficiency / ceiling_eff, 1.0), 3)
+        if ceiling_eff > 0
+        else None,
     }
     print(json.dumps(summary, indent=2))
 
