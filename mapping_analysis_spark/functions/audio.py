@@ -147,21 +147,38 @@ def _dct_ii_ortho(n_out: int, n_in: int) -> np.ndarray:
 
 
 _FB_CACHE: dict[int, np.ndarray] = {}
+_WIN_CACHE: dict[int, np.ndarray] = {}
 _DCT = _dct_ii_ortho(N_MFCC, N_MELS)
 
 
 def mfcc_py(pcm: np.ndarray, sr: int) -> np.ndarray:
-    """Mean-pooled 13-dim MFCC fingerprint of one clip (float32)."""
+    """Mean-pooled 13-dim MFCC fingerprint of one clip (float32).
+
+    Hot path notes (this UDF is the pipeline's single largest compute
+    stage, and on the shared-VM sandbox it is memory-bandwidth sensitive —
+    per-core FFT throughput drops ~1.8× when all cores run it):
+
+    * framing uses a zero-copy strided view (no gather copy of the frame
+      matrix); the one materialized temporary is the windowed frame block
+    * the Hann window is cached per frame length and applied in float32,
+      so the big multiply streams half the bytes of the float64 version
+    * the power spectrum is ``re² + im²`` directly — ``np.abs(...)**2``
+      costs an extra hypot/sqrt pass over the full spectrogram for values
+      that are immediately squared back
+    """
     if pcm is None or len(pcm) == 0:
         return np.zeros(N_MFCC, dtype=np.float32)
     frame_len = max(int(sr * 0.025), 16)
     hop = max(int(sr * 0.010), 8)
     if len(pcm) < frame_len:
         pcm = np.pad(pcm, (0, frame_len - len(pcm)))
-    n_frames = 1 + (len(pcm) - frame_len) // hop
-    idx = np.arange(frame_len)[None, :] + hop * np.arange(n_frames)[:, None]
-    frames = pcm[idx] * np.hanning(frame_len)[None, :]
-    spec = np.abs(np.fft.rfft(frames, n=N_FFT, axis=1)) ** 2
+    win = _WIN_CACHE.get(frame_len)
+    if win is None:
+        win = _WIN_CACHE[frame_len] = np.hanning(frame_len).astype(np.float32)
+    view = np.lib.stride_tricks.sliding_window_view(pcm, frame_len)[::hop]
+    frames = view * win[None, :]
+    fft = np.fft.rfft(frames, n=N_FFT, axis=1)
+    spec = fft.real**2 + fft.imag**2
     if sr not in _FB_CACHE:
         _FB_CACHE[sr] = _mel_filterbank(sr, N_FFT, N_MELS)
     mel = spec @ _FB_CACHE[sr].T

@@ -42,6 +42,21 @@ def get_spark(
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # AQE's coalescePartitions.parallelismFirst floors the coalesced
+        # partition count at default parallelism = the task-slot count, so
+        # post-shuffle stages ran as ~1.2 waves (19 tasks on 16 slots: one
+        # full wave + a 3-task tail that idles 13 cores). 4× slots keeps
+        # every coalesced stage at ≥3-4 balanced waves — same knob a real
+        # cluster turns for wave packing.
+        .config("spark.default.parallelism", str(4 * int(cpus)))
+        # AQE coalescing is size-based, but grouped-map pandas stages are
+        # COMPUTE-heavy per byte: the per-component merge shuffle is ~4 MB
+        # for tens of thousands of O(n²) local solves, and the default 1 MB
+        # minPartitionSize squeezed it to 3-4 tasks — 4 python workers
+        # serializing the whole merge phase at every parallelism level.
+        # 64k only binds for such tiny-by-bytes stages; normal stages still
+        # coalesce to the advisory size.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.enabled", str(aqe).lower())
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

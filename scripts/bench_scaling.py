@@ -121,11 +121,19 @@ def _ceiling_probe(procs: int) -> float:
     engine-free numpy FFT pool at ``procs`` processes (see
     bench_hw_ceiling.py). Run immediately before each engine run so the
     engine's measured efficiency can be normalized by what the shared-VM
-    host physically allowed AT THAT TIME."""
+    host physically allowed AT THAT TIME. Pinned to the same core window
+    the engine level will use, so probe and engine see the same hardware."""
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from bench_hw_ceiling import _run
 
-    return _run(procs)
+    if os.environ.get("SCALING_NO_PIN"):
+        return _run(procs)
+    prev = os.sched_getaffinity(0)
+    os.sched_setaffinity(0, set(range(procs)))
+    try:
+        return _run(procs)
+    finally:
+        os.sched_setaffinity(0, prev)
 
 
 def main() -> None:
@@ -152,10 +160,30 @@ def main() -> None:
                 flush=True,
             )
             t_start = time.time()
+            # Pin the whole process tree (JVM + python workers) to exactly
+            # `cpus` host cores and cap BLAS pools to one thread per worker.
+            # Without this the proxy is dishonest: at local[4] the 4 task
+            # slots spawn 4 python workers whose numpy/OpenBLAS pools plus
+            # the JVM's GC/netty threads consume 10+ host cores (measured:
+            # the MFCC stage hit 911 clips/s at local[4] vs 996 at
+            # local[16] unpinned — the "4-core" level was using most of the
+            # machine, so N→4N efficiency read as ~0.25 of its true value).
+            # A real N-executor cluster IS capped at N cores; taskset makes
+            # the sandbox match it.
+            env = dict(
+                os.environ,
+                OPENBLAS_NUM_THREADS="1",
+                OMP_NUM_THREADS="1",
+                MKL_NUM_THREADS="1",
+            )
+            cmd = [sys.executable, os.path.abspath(__file__), "--run", str(cpus)]
+            if not os.environ.get("SCALING_NO_PIN"):
+                cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
             proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--run", str(cpus)],
+                cmd,
                 capture_output=True,
                 text=True,
+                env=env,
                 timeout=int(os.environ.get("SCALING_TIMEOUT", "10800")),
             )
             line = [l for l in proc.stdout.splitlines() if l.startswith("RESULT ")]
