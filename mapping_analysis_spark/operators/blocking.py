@@ -28,6 +28,8 @@ merge/MergeMusicTripletCreator.java:26-49).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -207,6 +209,62 @@ def lsh_band_keys(
     return F.array(*keys)
 
 
+def minhash_band_keys(
+    token_col: Column, bands: int, rows_per_band: int, seed: int = 42
+) -> Column:
+    """Vectorized band keys: one Arrow pass computes every minhash and band
+    key, replacing ``lsh_band_keys(minhash_signature(...))`` in hot paths.
+
+    The composed Column version above is the spec, but it is an interpreted
+    higher-order expression: Catalyst has no codegen for ``transform`` and
+    projection collapse substitutes the whole ``bands*rows_per_band``-hash
+    signature into EVERY band key, so the signature is re-evaluated once per
+    band (measured 13.6 s vs 5.7 s for the signature alone at sf0.1). Here
+    the tokens are hashed JVM-side ONCE (`xxhash64` per token), and a numpy
+    pandas UDF computes the full ``(a*h+b) mod p`` minhash matrix and folds
+    band slices into keys in one vectorized batch. Signature values are
+    IDENTICAL to ``minhash_signature`` (same seed → same coefficients; the
+    arithmetic fits int64 exactly, p = 2^31−1, and numpy ``%`` matches
+    Java ``pmod``), so bucket structure — and therefore every candidate
+    pair — is unchanged; only the opaque key string differs
+    (fold-mix instead of murmur of the joined slice).
+    """
+    import random
+
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    num_hashes = bands * rows_per_band
+    rnd = random.Random(seed)
+    a_np = np.empty(num_hashes, dtype=np.int64)
+    b_np = np.empty(num_hashes, dtype=np.int64)
+    for i in range(num_hashes):
+        a_np[i] = rnd.randrange(1, _MERSENNE)
+        b_np[i] = rnd.randrange(0, _MERSENNE)
+    p = np.int64(_MERSENNE)
+    mix = np.int64(1000003)
+
+    @pandas_udf(T.ArrayType(T.StringType()))
+    def _bands(hashes: pd.Series) -> pd.Series:
+        out = []
+        with np.errstate(over="ignore"):
+            for h in hashes:
+                if h is None or len(h) == 0:
+                    out.append([])
+                    continue
+                hm = np.abs(np.asarray(h, dtype=np.int64)) % p
+                # (n_tokens, num_hashes) — exact int64, no overflow at p=2^31-1
+                sig = (hm[:, None] * a_np[None, :] + b_np[None, :]) % p
+                sig = sig.min(axis=0).reshape(bands, rows_per_band)
+                acc = sig[:, 0].copy()
+                for j in range(1, rows_per_band):
+                    acc = acc * mix + sig[:, j]  # wraps like Java long
+                out.append([f"{i}|{acc[i]}" for i in range(bands)])
+        return pd.Series(out)
+
+    return _bands(F.transform(token_col, lambda t: F.xxhash64(t)))
+
+
 def lsh_pairs(
     df: DataFrame,
     trigram_col: str = "trigram_set",
@@ -230,18 +288,14 @@ def lsh_pairs(
     """
     from ..util import materialize
 
-    sig = df.select(
-        F.col(id_col),
-        minhash_signature(F.col(trigram_col), bands * rows_per_band, seed).alias("_sig"),
-    )
     # materialize (id, band): the self-join + bucket-size agg below would
-    # otherwise re-evaluate the minhash signature once per reference
+    # otherwise re-evaluate the minhash UDF once per reference
     banded = materialize(
-        sig.select(
-            id_col,
-            F.explode(lsh_band_keys(F.col("_sig"), bands, rows_per_band)).alias(
-                "_band"
-            ),
+        df.select(
+            F.col(id_col),
+            F.explode(
+                minhash_band_keys(F.col(trigram_col), bands, rows_per_band, seed)
+            ).alias("_band"),
         )
     )
     if max_bucket:

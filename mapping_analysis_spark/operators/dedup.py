@@ -24,11 +24,12 @@ product); all verification is native Columns; results are deterministic.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.similarity import cosine_trigram_from_sets  # noqa: F401 (API surface)
-from .blocking import minhash_signature, lsh_band_keys
+from .blocking import minhash_band_keys
 from .graph import connected_components
 
 
@@ -52,8 +53,13 @@ def exact_dedup(
     return df.join(keep, id_col, "left_semi")
 
 
-def word_shingles(col: Column, n: int = 3) -> Column:
-    """Word n-gram shingle set of lowercased text, as array<string>."""
+def word_shingles_spec(col: Column, n: int = 3) -> Column:
+    """Word n-gram shingle set of lowercased text, as array<string> —
+    composed-Column spec. Correct but interpreted: `transform` has no
+    codegen and re-evaluates the whole `split` subtree per element
+    (measured ~1.2 ms/row at 52 shingles/doc — 5.8 s for 5000 docs, paid
+    once per reference). Hot paths use ``word_shingles`` below; a test
+    pins them equal."""
     words = F.filter(F.split(F.lower(col), r"\s+"), lambda w: w != "")
     cnt = F.size(words)
     idx = F.when(cnt >= n, F.sequence(F.lit(1), cnt - (n - 1))).otherwise(
@@ -65,6 +71,36 @@ def word_shingles(col: Column, n: int = 3) -> Column:
             lambda i: F.concat_ws(" ", F.slice(words, i, n)),
         )
     )
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Word n-gram shingle set of lowercased text (first-occurrence order,
+    distinct), Arrow-batched. Identical output to ``word_shingles_spec``:
+    lowercase → split on whitespace runs → n-word joins (whole text as one
+    shingle when fewer than n words, empty array for empty text, null for
+    null)."""
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.ArrayType(T.StringType()))
+    def _shingles(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            words = t.lower().split()
+            cnt = len(words)
+            if cnt >= n:
+                grams = [" ".join(words[i : i + n]) for i in range(cnt - n + 1)]
+            elif cnt > 0:
+                grams = [" ".join(words)]
+            else:
+                grams = []
+            out.append(list(dict.fromkeys(grams)))
+        return pd.Series(out)
+
+    return _shingles(col)
 
 
 def jaccard_from_sets(left: Column, right: Column) -> Column:
@@ -100,21 +136,17 @@ def minhash_lsh_candidates(
         F.col(id_col).alias("_id"),
         word_shingles(F.col(text_col), shingle_n).alias("_sh"),
     ).filter(F.size("_sh") > 0)
-    sig = sh.select(
-        "_id",
-        minhash_signature(F.col("_sh"), bands * rows_per_band, seed).alias("_sig"),
-    )
     from ..util import materialize
 
     # materialize (id, band): every alias below re-evaluates its input, and
     # the minhash signature is the expensive part — without the boundary it
     # is computed once per self-join side plus once for the bucket sizes
     banded = materialize(
-        sig.select(
+        sh.select(
             "_id",
-            F.explode(lsh_band_keys(F.col("_sig"), bands, rows_per_band)).alias(
-                "_band"
-            ),
+            F.explode(
+                minhash_band_keys(F.col("_sh"), bands, rows_per_band, seed)
+            ).alias("_band"),
         )
     )
     if max_bucket:

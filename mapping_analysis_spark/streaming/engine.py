@@ -218,14 +218,14 @@ class StreamingERJob:
     def _band_keys_expr(rcfg: ClusterRoundConfig):
         """LSH band keys of the cluster label's trigram set (the state's
         secondary index for affected-cluster lookup)."""
-        from ..operators.blocking import lsh_band_keys, minhash_signature
+        from ..operators.blocking import minhash_band_keys
 
-        sig = minhash_signature(
+        return minhash_band_keys(
             F.col("trigram_set"),
-            rcfg.lsh_bands * rcfg.lsh_rows_per_band,
+            rcfg.lsh_bands,
+            rcfg.lsh_rows_per_band,
             rcfg.lsh_seed,
         )
-        return lsh_band_keys(sig, rcfg.lsh_bands, rcfg.lsh_rows_per_band)
 
     # -- watermark bookkeeping --------------------------------------------
 

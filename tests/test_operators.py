@@ -114,6 +114,45 @@ def test_lsh_deterministic_across_partitionings(spark):
     assert a == b
 
 
+def test_vectorized_band_keys_match_spec_signature(spark):
+    """minhash_band_keys (numpy pandas-UDF hot path) must induce the SAME
+    bucket structure as the composed Column spec lsh_band_keys(
+    minhash_signature(...)): signature values are bit-identical (same
+    coefficients, exact int64 arithmetic), so docs sharing a spec band key
+    must share a vectorized band key and vice versa."""
+    from mapping_analysis_spark.functions.similarity import trigram_set
+    from mapping_analysis_spark.operators.blocking import (
+        lsh_band_keys,
+        minhash_band_keys,
+        minhash_signature,
+    )
+
+    rows = [(i, f"sample text number {i // 3} with drift {i % 7}") for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, text string").withColumn(
+        "tg", trigram_set(F.col("text"))
+    )
+    bands, rpb = 6, 3
+    spec = df.select(
+        "id",
+        lsh_band_keys(minhash_signature(F.col("tg"), bands * rpb, 42), bands, rpb).alias("k"),
+    ).collect()
+    fast = df.select(
+        "id", minhash_band_keys(F.col("tg"), bands, rpb, 42).alias("k")
+    ).collect()
+    spec_k = {r.id: r.k for r in spec}
+    fast_k = {r.id: r.k for r in fast}
+    # same-bucket relation per band index must be identical
+    for b in range(bands):
+        spec_groups = {}
+        fast_groups = {}
+        for i in spec_k:
+            spec_groups.setdefault(spec_k[i][b], set()).add(i)
+            fast_groups.setdefault(fast_k[i][b], set()).add(i)
+        assert sorted(map(sorted, spec_groups.values())) == sorted(
+            map(sorted, fast_groups.values())
+        ), f"band {b} bucket partition differs"
+
+
 def test_idf_support_pairs(spark):
     from mapping_analysis_spark.operators.blocking import idf_support_pairs
 
@@ -404,6 +443,22 @@ def test_simhash_identical_and_different(spark):
     l = spark.createDataFrame([(rows[1], rows[3])], "a long, b long")
     d = l.select(hamming64(F.col("a"), F.col("b")).alias("h")).first().h
     assert d > 8
+
+
+def test_word_shingles_matches_spec(spark):
+    """Arrow-batched word_shingles must equal the composed-Column spec on
+    real corpus text (order included)."""
+    from mapping_analysis_spark.operators.dedup import word_shingles, word_shingles_spec
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").limit(200)
+    rows = docs.select(
+        "doc_id",
+        word_shingles(F.col("text"), 3).alias("fast"),
+        word_shingles_spec(F.col("text"), 3).alias("spec"),
+    ).collect()
+    assert len(rows) == 200
+    for r in rows:
+        assert r.fast == r.spec, r.doc_id
 
 
 def test_word_shingles_edges(spark):
