@@ -209,6 +209,203 @@ def lsh_band_keys(
     return F.array(*keys)
 
 
+def salted_block_pair_scores(
+    df: DataFrame,
+    key_col: str = "blocking_key",
+    id_col: str = "id",
+    tokens_col: str = "_tg",
+    mask_col: str = "sources_mask",
+    max_block_rows: int = 256,
+    max_sources: int = 5,
+    emit_min: float | None = None,
+) -> DataFrame:
+    """Blocked pair SIMILARITIES computed block-locally: (src, dst,
+    sim_text) for every cross-source pair within a block, where sim_text =
+    set-cosine |A∩B|/√(|A||B|) over the SORTED int64 token arrays in
+    ``tokens_col``, 6dp HALF_UP — value-identical to
+    ``cosine_trigram_from_sets`` (a test pins them equal).
+
+    Why not score on the pair join's output (salted_block_pairs →
+    cosine)? The scoring expression is not codegen-able, so the join
+    cannot fuse with the projection and materializes BOTH token arrays
+    into every pair row first (~2 KB × pair count — 200+ GB of row writes
+    at 300k clips / 120M candidates), and the interpreted ArrayIntersect
+    then allocates a boxed hash set per pair; the garbage rate scales
+    with task slots while collection shares one heap, which measured as
+    the non-scaling term in the N-vs-4N bench. Here each record's payload
+    travels once per salt cell (~KB × records, not pairs), pairs are
+    enumerated AND scored inside one vectorized grouped-map pass
+    (numpy binary search, allocation-free), and only pairs with
+    sim ≥ ``emit_min`` leave the stage.
+
+    Salting: blocks larger than ``max_block_rows`` split into s cells by
+    id hash (same assignment as salted_block_pairs); a record in cell c
+    is replicated to every unordered cell-pair group (i,j) containing c,
+    so each cross-cell pair is scored exactly once and any single group
+    holds ≤ 2·max_block_rows rows.
+
+    Restrictions applied in-group (CheckRestrictionsFilterFunction
+    .java:27-50): no source-mask overlap, summed bit counts ≤
+    ``max_sources``.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..functions.local_sim import round_half_up
+
+    sizes = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("_block_n"))
+    with_cell = (
+        df.select(id_col, key_col, mask_col, tokens_col)
+        .join(
+            F.broadcast(sizes.filter(F.col("_block_n") > max_block_rows)),
+            key_col,
+            "left",
+        )
+        .withColumn(
+            "_n_cells",
+            F.coalesce(
+                F.ceil(F.col("_block_n") / F.lit(max_block_rows)).cast("int"),
+                F.lit(1),
+            ),
+        )
+        .withColumn(
+            "_cell", F.pmod(F.xxhash64(F.col(id_col)), F.col("_n_cells")).cast("int")
+        )
+    )
+    # every unordered cell pair (i,j), i<=j, that contains this row's cell:
+    # (cell, j) for j in [cell, s) plus (i, cell) for i in [0, cell)
+    pairs_of_cell = F.concat(
+        F.transform(
+            F.sequence(F.col("_cell"), F.col("_n_cells") - 1),
+            lambda j: F.struct(F.col("_cell").alias("i"), j.alias("j")),
+        ),
+        F.when(
+            F.col("_cell") > 0,
+            F.transform(
+                F.sequence(F.lit(0), F.col("_cell") - 1),
+                lambda i: F.struct(i.alias("i"), F.col("_cell").alias("j")),
+            ),
+        ).otherwise(F.expr("array()").cast("array<struct<i:int,j:int>>")),
+    )
+    grouped = with_cell.withColumn("_g", F.explode(pairs_of_cell)).select(
+        F.col(id_col).alias("_id"),
+        F.col(key_col).alias("_key"),
+        F.col(mask_col).alias("_mask"),
+        F.col(tokens_col).alias("_tok"),
+        F.col("_cell"),
+        F.col("_g.i").alias("_gi"),
+        F.col("_g.j").alias("_gj"),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("src", T.LongType(), False),
+            T.StructField("dst", T.LongType(), False),
+            T.StructField("sim_text", T.DoubleType(), True),
+        ]
+    )
+    emit = emit_min
+
+    _EMPTY = pd.DataFrame(
+        {"src": pd.Series(dtype="int64"), "dst": pd.Series(dtype="int64"),
+         "sim_text": pd.Series(dtype="float64")}
+    )
+
+    def solve(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        gi, gj = int(pdf["_gi"].iloc[0]), int(pdf["_gj"].iloc[0])
+        ids = pdf["_id"].to_numpy()
+        masks = pdf["_mask"].to_numpy().astype(np.int64)
+        cells = pdf["_cell"].to_numpy()
+        toks = [np.asarray(t, dtype=np.int64) for t in pdf["_tok"]]
+        n = len(ids)
+        lens = np.array([len(t) for t in toks], dtype=np.int64)
+        # ---- pairwise intersection counts for the WHOLE group in one
+        # vectorized pass: flatten tokens, sort, then every run of equal
+        # token values contributes all its record pairs; one bincount over
+        # packed (lo*n + hi) pair codes yields the dense count matrix.
+        # Per-pair cost is a few streamed C ops — the per-pair
+        # searchsorted loop (~7 µs/pair in Python OR boxed JVM sets)
+        # is what this replaces; at ~1B candidates per 300k-clip corpus
+        # that constant is the whole stage.
+        if n > 1 and lens.sum() > 0:
+            all_tok = np.concatenate([t for t in toks if len(t)])
+            rec_of = np.repeat(np.arange(n), lens)
+            order = np.argsort(all_tok, kind="stable")
+            st, sr = all_tok[order], rec_of[order]
+            newrun = np.empty(len(st), dtype=bool)
+            newrun[0] = True
+            np.not_equal(st[1:], st[:-1], out=newrun[1:])
+            run_id = np.cumsum(newrun) - 1
+            run_start = np.flatnonzero(newrun)
+            run_len = np.diff(np.append(run_start, len(st)))
+            # enumerate (i<j) position pairs inside each run, vectorized:
+            # second element walks each run from offset 1.. L-1, paired
+            # with every earlier element of the same run
+            pos_in_run = np.arange(len(st)) - run_start[run_id]
+            # for position p>0 in its run: p partners (all earlier)
+            reps = pos_in_run  # number of earlier partners
+            snd = np.repeat(np.arange(len(st)), reps)
+            # earlier-partner positions: for each snd occurrence k-th copy
+            # of element at absolute position a with run start s: s + k
+            cum = np.concatenate([[0], np.cumsum(reps)])
+            k = np.arange(len(snd)) - cum[np.repeat(np.arange(len(st)), reps)]
+            fst = run_start[run_id[snd]] + k
+            ra, rb = sr[fst], sr[snd]
+            lo = np.minimum(ra, rb)
+            hi = np.maximum(ra, rb)
+            counts = np.bincount(lo * n + hi, minlength=n * n)
+        else:
+            counts = np.zeros(n * n, dtype=np.int64)
+        # ---- enumerate the group's valid pair grid
+        left_idx = np.flatnonzero(cells == gi)
+        if gi == gj:
+            li, ri = np.triu_indices(len(left_idx), k=1)
+            li, ri = left_idx[li], left_idx[ri]
+        else:
+            right_idx = np.flatnonzero(cells == gj)
+            li = np.repeat(left_idx, len(right_idx))
+            ri = np.tile(right_idx, len(left_idx))
+        if len(li) == 0:
+            return _EMPTY.copy()
+        nbits = np.array([bin(int(m)).count("1") for m in masks], dtype=np.int64)
+        ok = ((masks[li] & masks[ri]) == 0) & (nbits[li] + nbits[ri] <= max_sources)
+        li, ri = li[ok], ri[ok]
+        if len(li) == 0:
+            return _EMPTY.copy()
+        lo = np.minimum(li, ri)
+        hi = np.maximum(li, ri)
+        inter = counts[lo * n + hi].astype(np.float64)
+        na, nb = lens[li], lens[ri]
+        denom = np.sqrt((na * nb).astype(np.float64))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            x = np.where(denom > 0, inter / denom, 0.0)
+        x = np.where((na == 0) & (nb == 0), 1.0, x)
+        # HALF_UP at 6dp, vectorized; rows near the .5 boundary fall back
+        # to the Decimal(repr(x)) kernel (matches F.round exactly)
+        y = x * 1e6
+        sim = np.floor(y + 0.5) / 1e6
+        near = np.abs(y - np.floor(y) - 0.5) < 1e-6
+        if near.any():
+            for t in np.flatnonzero(near):
+                sim[t] = round_half_up(float(x[t]), 6)
+        if emit is not None:
+            keep = sim >= emit
+            li, ri, sim = li[keep], ri[keep], sim[keep]
+            if len(li) == 0:
+                return _EMPTY.copy()
+        ia, ib = ids[li], ids[ri]
+        return pd.DataFrame(
+            {
+                "src": np.minimum(ia, ib).astype(np.int64),
+                "dst": np.maximum(ia, ib).astype(np.int64),
+                "sim_text": sim.astype(np.float64),
+            }
+        )
+
+    return grouped.groupBy("_key", "_gi", "_gj").applyInPandas(solve, schema=schema)
+
+
 def minhash_band_keys(
     token_col: Column, bands: int, rows_per_band: int, seed: int = 42
 ) -> Column:

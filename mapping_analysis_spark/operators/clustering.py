@@ -130,35 +130,22 @@ def _round_pairs(
     use_audio = cfg.use_audio and "fingerprint" in clusters.columns
     if use_audio:
         payload.append("fingerprint")
-    restrict = (
-        (F.col("l.sources_mask").bitwiseAND(F.col("r.sources_mask")) == 0)
-        & (
-            F.bit_count(F.col("l.sources_mask")) + F.bit_count(F.col("r.sources_mask"))
-            <= cfg.max_sources
-        )
-    )
-    pair_ids = salted_block_pairs(
-        clusters.select("id", "blocking_key", "sources_mask"),
-        key_col="blocking_key",
-        id_col="id",
-        max_block_rows=cfg.max_block_rows,
-        restrict=restrict,
-        payload_cols=["sources_mask"],
-    ).select("src", "dst")
-    if extra_pair_ids is not None:
-        pair_ids = pair_ids.unionByName(
-            extra_pair_ids.select("src", "dst")
-        ).dropDuplicates(["src", "dst"])
-    sim_side = clusters.select(
+    # Blocked pairs are enumerated, mask-restricted, AND scored inside one
+    # block-local grouped-map pass (salted_block_pair_scores): each
+    # record's hashed trigram array travels once per salt cell — never
+    # per pair. The previous shape (id-only pair materialize, then two
+    # equi-joins attaching the arrays per pair) was only cheap while the
+    # sim side auto-broadcast; past the 64 MB broadcast threshold (~150k
+    # records) it silently became two sort-merge joins shuffling the array
+    # payload once per PAIR (~50 GB at 300k clips / 120M candidates — the
+    # dominant non-scaling term in the N-vs-4N bench).
+    hashed = clusters.select(
         "id",
-        F.transform(F.col("trigram_set"), lambda t: F.xxhash64(t)).alias("_tg"),
-    )
-    scored = pair_ids.join(
-        sim_side.select(F.col("id").alias("src"), F.col("_tg").alias("_stg")),
-        "src",
-    ).join(
-        sim_side.select(F.col("id").alias("dst"), F.col("_tg").alias("_dtg")),
-        "dst",
+        "blocking_key",
+        "sources_mask",
+        F.array_sort(
+            F.transform(F.col("trigram_set"), lambda t: F.xxhash64(t))
+        ).alias("_tg"),
     )
     import os
     import time
@@ -171,21 +158,52 @@ def _round_pairs(
     # fingerprint aggregates run only on pairs that can still qualify.
     # The 1e-6 slack keeps the 6dp HALF_UP rounding boundary on the kept
     # side, so the survivor set is provably identical to scoring both
-    # channels on every pair.
-    narrow = materialize(
-        scored.select(
-            "src",
-            "dst",
-            cosine_trigram_from_sets(F.col("_stg"), F.col("_dtg")).alias(
-                "sim_text"
-            ),
-        )
+    # channels on every pair — pairs below the bound can never survive any
+    # downstream filter, so the block-local scorer does not emit them.
+    from .blocking import salted_block_pair_scores
+
+    text_bound = (2.0 * cfg.min_sim - 1.0 if use_audio else cfg.min_sim) - 1e-6
+    blocked_scored = salted_block_pair_scores(
+        hashed,
+        key_col="blocking_key",
+        id_col="id",
+        tokens_col="_tg",
+        mask_col="sources_mask",
+        max_block_rows=cfg.max_block_rows,
+        max_sources=cfg.max_sources,
+        emit_min=text_bound,
     )
+    if extra_pair_ids is not None:
+        # LSH extras are few (≈ one per banded record); join the arrays
+        # back by id for them only, then dedupe on the NARROW rows (a pair
+        # can surface both blocked and via LSH; sims are identical).
+        tg_side = hashed.select("id", "_tg")
+        lsh_scored = (
+            extra_pair_ids.select("src", "dst")
+            .join(
+                tg_side.select(F.col("id").alias("src"), F.col("_tg").alias("_stg")),
+                "src",
+            )
+            .join(
+                tg_side.select(F.col("id").alias("dst"), F.col("_tg").alias("_dtg")),
+                "dst",
+            )
+            .select(
+                "src",
+                "dst",
+                cosine_trigram_from_sets(F.col("_stg"), F.col("_dtg")).alias(
+                    "sim_text"
+                ),
+            )
+        )
+        blocked_scored = blocked_scored.unionByName(lsh_scored).dropDuplicates(
+            ["src", "dst"]
+        )
+    narrow = materialize(blocked_scored)
     if os.environ.get("SPARK_GRAFT_DEBUG_BATCH"):
         print(f"[rounds] score-pairs-narrow: {time.time() - _t:.1f}s", flush=True)
     _t = time.time()
     if use_audio:
-        text_bound = 2.0 * cfg.min_sim - 1.0 - 1e-6
         cand = narrow.filter(
             F.col("sim_text").isNull() | (F.col("sim_text") >= text_bound)
         )
@@ -420,6 +438,18 @@ def merge_components(clusters: DataFrame, cfg: ClusterRoundConfig) -> DataFrame:
             return None
         return trigram_set_local(simplify_local(label))
 
+    def _round6(x: float) -> float:
+        # tie-guarded fast HALF_UP: floor(x·1e6 + 0.5) except within 1e-6
+        # of the .5 boundary, where the Decimal(repr(x)) kernel decides —
+        # value-identical to local_sim.round_half_up (same guard as the
+        # vectorized block scorer)
+        y = x * 1e6
+        if abs(y - math.floor(y) - 0.5) < 1e-6:
+            return round_half_up(x, 6)
+        return math.floor(y + 0.5) / 1e6
+
+    audio_text_bound = 2.0 * threshold - 1.0 - 1e-6
+
     def sim_fn(a: dict, b: dict) -> float | None:
         # trigram sets cached per cluster ('_tg'), semantics identical to
         # local_sim.cosine_trigram_local
@@ -432,18 +462,43 @@ def merge_components(clusters: DataFrame, cfg: ClusterRoundConfig) -> DataFrame:
             st = 0.0
         else:
             inter = len(sa_ & sb_)
-            st = round_half_up(inter / math.sqrt(len(sa_) * len(sb_)), 6)
+            st = _round6(inter / math.sqrt(len(sa_) * len(sb_)))
         if not use_audio:
             return st
-        au = cosine_vec_local(a.get("fingerprint"), b.get("fingerprint"))
-        return mean_agg_local(st, au, scale=6)
+        if st is not None and st < audio_text_bound:
+            # even a perfect audio sim of 1.0 cannot lift the mean to the
+            # threshold — identical survivor set, audio dot skipped
+            return None
+        fa, fb = a.get("fingerprint"), b.get("fingerprint")
+        if fa is None or fb is None:
+            au = None
+        else:
+            dot = 0.0
+            for x_, y_ in zip(fa, fb):
+                dot += x_ * y_
+            nrm = a["_fpn"] * b["_fpn"]
+            au = _round6(dot / nrm) if nrm > 0 else None
+        if st is None and au is None:
+            return None
+        if st is None:
+            return au
+        if au is None:
+            return st
+        return _round6((st + au) / 2.0)
 
     def solve(pdf: pd.DataFrame) -> pd.DataFrame:
+        import heapq
+
         clusters_l: dict[int, dict] = {}
         for row in pdf.to_dict("records"):
             row["members"] = list(row["members"])
-            if use_audio and row.get("fingerprint") is not None:
-                row["fingerprint"] = list(row["fingerprint"])
+            if use_audio:
+                fp = row.get("fingerprint")
+                if fp is not None:
+                    row["fingerprint"] = list(fp)
+                    row["_fpn"] = math.sqrt(sum(x_ * x_ for x_ in fp))
+                else:
+                    row["_fpn"] = 0.0
             row["_tg"] = _tg(row.get("label"))
             clusters_l[row["id"]] = row
 
@@ -456,18 +511,29 @@ def merge_components(clusters: DataFrame, cfg: ClusterRoundConfig) -> DataFrame:
                 <= max_sources
             )
 
+        # lazy-deletion priority queue: entries are (-sim, a, b, ver_a,
+        # ver_b); heapq pops the smallest tuple = highest sim, then min a,
+        # then min b — the same total order as the previous max((sim, -a,
+        # -b)) scan, but O(log n) per op instead of a full dict rebuild
+        # per merge (which was O(pairs) × merges — the dominant cost on
+        # 512-row components).
+        ver: dict[int, int] = {i: 0 for i in clusters_l}
+        heap_l: list = []
+
+        def push(a: int, b: int, s: float) -> None:
+            heapq.heappush(heap_l, (-s, a, b, ver[a], ver[b]))
+
         ids = sorted(clusters_l)
-        heap: dict[tuple[int, int], float] = {}
         for i, a in enumerate(ids):
             for b in ids[i + 1 :]:
                 if valid(clusters_l[a], clusters_l[b]):
                     s = sim_fn(clusters_l[a], clusters_l[b])
                     if s is not None and s >= threshold:
-                        heap[(a, b)] = s
-        while heap:
-            (a, b), _s = max(
-                heap.items(), key=lambda kv: (kv[1], -kv[0][0], -kv[0][1])
-            )
+                        push(a, b, s)
+        while heap_l:
+            negs, a, b, va, vb = heapq.heappop(heap_l)
+            if ver.get(a) != va or ver.get(b) != vb:
+                continue
             ca, cb = clusters_l[a], clusters_l[b]
             keep, drop = (a, b) if a < b else (b, a)
             merged = dict(clusters_l[keep])
@@ -482,24 +548,25 @@ def merge_components(clusters: DataFrame, cfg: ClusterRoundConfig) -> DataFrame:
                 fa, fb = ca.get("fingerprint"), cb.get("fingerprint")
                 if fa is None:
                     merged["fingerprint"] = fb
+                    merged["_fpn"] = cb["_fpn"]
                 elif fb is None:
                     merged["fingerprint"] = fa
+                    merged["_fpn"] = ca["_fpn"]
                 else:
-                    merged["fingerprint"] = [
-                        (x * na + y * nb) / (na + nb) for x, y in zip(fa, fb)
-                    ]
+                    fm = [(x * na + y * nb) / (na + nb) for x, y in zip(fa, fb)]
+                    merged["fingerprint"] = fm
+                    merged["_fpn"] = math.sqrt(sum(x_ * x_ for x_ in fm))
             clusters_l[keep] = merged
             del clusters_l[drop]
-            heap = {
-                p: s for p, s in heap.items() if keep not in p and drop not in p
-            }
+            del ver[drop]
+            ver[keep] += 1
             for other in clusters_l:
                 if other == keep:
                     continue
                 if valid(merged, clusters_l[other]):
                     s = sim_fn(merged, clusters_l[other])
                     if s is not None and s >= threshold:
-                        heap[(min(keep, other), max(keep, other))] = s
+                        push(min(keep, other), max(keep, other), s)
         cols = [f.name for f in fields]
         return pd.DataFrame(
             [{c: cl.get(c) for c in cols} for cl in clusters_l.values()],
@@ -572,12 +639,34 @@ def cluster_rounds(
     ]
     singletons = clusters.filter(F.col("_cc_n") == 1).select(*keep_cols)
     multi = clusters.filter(F.col("_cc_n") > 1).drop("cc", "_cc_n")
-    merged = merge_components(multi, cfg).unionByName(singletons)
+    if _dbg:
+        _t = time.time()
+        singletons = materialize(singletons)
+        multi = materialize(multi)
+        print(
+            f"[rounds] component-split: {time.time() - _t:.1f}s "
+            f"(multi {multi.count()}, single {singletons.count()})",
+            flush=True,
+        )
+        _t = time.time()
+    merged = merge_components(multi, cfg)
+    if _dbg:
+        merged = materialize(merged)
+        print(f"[rounds] merge-groups: {time.time() - _t:.1f}s", flush=True)
+        _t = time.time()
+    merged = merged.unionByName(singletons)
     from ..functions.text import music_blocking_label
 
-    return merged.withColumn(
+    out = merged.withColumn(
         "blocking_key", music_blocking_label(F.col("label"), 4)
     ).withColumn("trigram_set", trigram_set(F.col("label")))
+    if _dbg:
+        # attribution barrier only: materialize the merged state so the
+        # merge phase's cost is visible separately from representatives
+        _t = time.time()
+        out = materialize(out)
+        print(f"[rounds] fuse-keys: {time.time() - _t:.1f}s", flush=True)
+    return out
 
 
 def distributed_merge_rounds(

@@ -504,3 +504,63 @@ def test_language_id_und(spark):
     ).collect()}
     assert got[1] == "und"
     assert got[2] == "en"
+
+
+def test_block_local_scores_match_join_path(spark):
+    """salted_block_pair_scores (grouped-map numpy scorer) must produce the
+    SAME pair set and the SAME sim values as the join-then-cosine spec
+    path, including under salting (max_block_rows small enough to split
+    blocks) and the mask restrictions."""
+    from mapping_analysis_spark.functions.similarity import (
+        cosine_trigram_from_sets,
+        trigram_set,
+    )
+    from mapping_analysis_spark.operators.blocking import (
+        salted_block_pair_scores,
+        salted_block_pairs,
+    )
+
+    rows = [
+        (i, f"k{i % 3}", 1 << (i % 4), f"sample text number {i // 5} drift {i % 11}")
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, blocking_key string, sources_mask long, text string"
+    ).withColumn(
+        "_tg",
+        F.array_sort(F.transform(trigram_set(F.col("text")), lambda t: F.xxhash64(t))),
+    )
+    got = {
+        (r.src, r.dst): r.sim_text
+        for r in salted_block_pair_scores(
+            df, max_block_rows=16, max_sources=3, emit_min=None
+        ).collect()
+    }
+    restrict = (
+        (F.col("l.sources_mask").bitwiseAND(F.col("r.sources_mask")) == 0)
+        & (
+            F.bit_count(F.col("l.sources_mask")) + F.bit_count(F.col("r.sources_mask"))
+            <= 3
+        )
+    )
+    spec_pairs = salted_block_pairs(
+        df,
+        max_block_rows=16,
+        restrict=restrict,
+        payload_cols=["sources_mask", "_tg"],
+    ).select(
+        "src",
+        "dst",
+        cosine_trigram_from_sets(F.col("src__tg"), F.col("dst__tg")).alias("sim_text"),
+    )
+    want = {(r.src, r.dst): r.sim_text for r in spec_pairs.collect()}
+    assert got == want and len(got) > 100
+
+    # emit_min drops exactly the below-bound pairs
+    kept = {
+        (r.src, r.dst): r.sim_text
+        for r in salted_block_pair_scores(
+            df, max_block_rows=16, max_sources=3, emit_min=0.4
+        ).collect()
+    }
+    assert kept == {p: s for p, s in want.items() if s >= 0.4}

@@ -192,3 +192,40 @@ def test_artist_title_album(spark):
     ).collect()
     assert got[0].x == "a daniel balavoine l enfant de vous"
     assert got[1].x == "t"
+
+
+def test_cosine_hashed_sets_matches_jvm_spec(spark):
+    """The Arrow pair-scoring kernel (cosine_hashed_sets over sorted
+    xxhash64 trigram arrays) must produce the SAME doubles as the JVM
+    cosine_trigram_from_sets over the same hashed sets — including the
+    empty/empty=1.0, one-empty=0.0, and null edge cases and HALF_UP
+    rounding — on real corpus pairs."""
+    from mapping_analysis_spark.functions.similarity import (
+        cosine_hashed_sets,
+        cosine_trigram_from_sets,
+        trigram_set,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").limit(80)
+    side = docs.select(
+        F.col("doc_id").alias("id"),
+        F.array_sort(
+            F.transform(trigram_set(F.col("text")), lambda t: F.xxhash64(t))
+        ).alias("tg"),
+    )
+    l, r = side.alias("l"), side.alias("r")
+    pairs = l.join(r, F.col("l.id") < F.col("r.id")).select(
+        F.col("l.tg").alias("a"), F.col("r.tg").alias("b")
+    )
+    extra = spark.createDataFrame(
+        [([], []), ([], [1, 2]), (None, [1, 2]), ([3], None)],
+        "a array<long>, b array<long>",
+    )
+    both = pairs.unionByName(extra).select(
+        cosine_hashed_sets(F.col("a"), F.col("b")).alias("fast"),
+        cosine_trigram_from_sets(F.col("a"), F.col("b")).alias("spec"),
+    )
+    rows = both.collect()
+    assert len(rows) == 80 * 79 // 2 + 4
+    for i, row in enumerate(rows):
+        assert row.fast == row.spec, (i, row.fast, row.spec)
