@@ -159,6 +159,12 @@ def salted_block_pairs(
 # ANSI overflow checks on (Spark 4 default)
 _MERSENNE = (1 << 31) - 1
 
+# salted_block_pair_scores: max shared-token pair-occurrence entries the
+# run-based vectorized intersection may materialize per group (~56 B/entry
+# across the temp arrays → ~110 MB peak at this cap); denser groups fall
+# back to per-pair sorted intersection (same counts, bounded memory)
+_MAX_PAIR_INCIDENCE = 2_000_000
+
 
 def minhash_signature(
     trigram_col: Column, num_hashes: int, seed: int = 42
@@ -247,12 +253,20 @@ def salted_block_pair_scores(
     Restrictions applied in-group (CheckRestrictionsFilterFunction
     .java:27-50): no source-mask overlap, summed bit counts ≤
     ``max_sources``.
+
+    Null blocking keys are EXCLUDED (same semantics as the equi-join paths,
+    where a null key matches nothing): a null transcript yields an empty
+    trigram array, and grouping nulls together would score every such
+    cross-source pair 1.0 (empty-vs-empty) and merge unrelated records —
+    and, because the salting size-join can't match null, all of them would
+    land in a single O(n²) task.
     """
     import pandas as pd
     from pyspark.sql import types as T
 
     from ..functions.local_sim import round_half_up
 
+    df = df.filter(F.col(key_col).isNotNull())
     sizes = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("_block_n"))
     with_cell = (
         df.select(id_col, key_col, mask_col, tokens_col)
@@ -320,44 +334,9 @@ def salted_block_pair_scores(
         toks = [np.asarray(t, dtype=np.int64) for t in pdf["_tok"]]
         n = len(ids)
         lens = np.array([len(t) for t in toks], dtype=np.int64)
-        # ---- pairwise intersection counts for the WHOLE group in one
-        # vectorized pass: flatten tokens, sort, then every run of equal
-        # token values contributes all its record pairs; one bincount over
-        # packed (lo*n + hi) pair codes yields the dense count matrix.
-        # Per-pair cost is a few streamed C ops — the per-pair
-        # searchsorted loop (~7 µs/pair in Python OR boxed JVM sets)
-        # is what this replaces; at ~1B candidates per 300k-clip corpus
-        # that constant is the whole stage.
-        if n > 1 and lens.sum() > 0:
-            all_tok = np.concatenate([t for t in toks if len(t)])
-            rec_of = np.repeat(np.arange(n), lens)
-            order = np.argsort(all_tok, kind="stable")
-            st, sr = all_tok[order], rec_of[order]
-            newrun = np.empty(len(st), dtype=bool)
-            newrun[0] = True
-            np.not_equal(st[1:], st[:-1], out=newrun[1:])
-            run_id = np.cumsum(newrun) - 1
-            run_start = np.flatnonzero(newrun)
-            run_len = np.diff(np.append(run_start, len(st)))
-            # enumerate (i<j) position pairs inside each run, vectorized:
-            # second element walks each run from offset 1.. L-1, paired
-            # with every earlier element of the same run
-            pos_in_run = np.arange(len(st)) - run_start[run_id]
-            # for position p>0 in its run: p partners (all earlier)
-            reps = pos_in_run  # number of earlier partners
-            snd = np.repeat(np.arange(len(st)), reps)
-            # earlier-partner positions: for each snd occurrence k-th copy
-            # of element at absolute position a with run start s: s + k
-            cum = np.concatenate([[0], np.cumsum(reps)])
-            k = np.arange(len(snd)) - cum[np.repeat(np.arange(len(st)), reps)]
-            fst = run_start[run_id[snd]] + k
-            ra, rb = sr[fst], sr[snd]
-            lo = np.minimum(ra, rb)
-            hi = np.maximum(ra, rb)
-            counts = np.bincount(lo * n + hi, minlength=n * n)
-        else:
-            counts = np.zeros(n * n, dtype=np.int64)
-        # ---- enumerate the group's valid pair grid
+        # ---- enumerate the group's valid pair grid first (the restriction
+        # mask usually prunes hard, and the fallback path below only needs
+        # intersections for surviving pairs)
         left_idx = np.flatnonzero(cells == gi)
         if gi == gj:
             li, ri = np.triu_indices(len(left_idx), k=1)
@@ -375,7 +354,62 @@ def salted_block_pair_scores(
             return _EMPTY.copy()
         lo = np.minimum(li, ri)
         hi = np.maximum(li, ri)
-        inter = counts[lo * n + hi].astype(np.float64)
+        # ---- pairwise intersection counts for the WHOLE group in one
+        # vectorized pass: flatten tokens, sort, then every run of equal
+        # token values contributes all its record pairs; one bincount over
+        # packed (lo*n + hi) pair codes yields the dense count matrix.
+        # Per-pair cost is a few streamed C ops — the per-pair
+        # searchsorted loop (~7 µs/pair in Python OR boxed JVM sets)
+        # is what this replaces; at ~1B candidates per 300k-clip corpus
+        # that constant is the whole stage.
+        #
+        # MEMORY CAP: the run enumeration materializes one int64 entry per
+        # shared-token pair occurrence (Σ L·(L−1)/2 over equal-value runs)
+        # across ~7 temp arrays (~56 B/entry). A 512-row group of
+        # near-duplicates sharing hundreds of trigrams would allocate tens
+        # of millions of entries per task × concurrent task slots, so when
+        # the incidence count exceeds ``_MAX_PAIR_INCIDENCE`` (~2M entries
+        # ≈ 110 MB peak) we fall back to per-pair sorted intersection over
+        # ONLY the surviving pairs — identical counts, bounded memory.
+        if n > 1 and lens.sum() > 0:
+            all_tok = np.concatenate([t for t in toks if len(t)])
+            rec_of = np.repeat(np.arange(n), lens)
+            order = np.argsort(all_tok, kind="stable")
+            st, sr = all_tok[order], rec_of[order]
+            newrun = np.empty(len(st), dtype=bool)
+            newrun[0] = True
+            np.not_equal(st[1:], st[:-1], out=newrun[1:])
+            run_id = np.cumsum(newrun) - 1
+            run_start = np.flatnonzero(newrun)
+            # enumerate (i<j) position pairs inside each run, vectorized:
+            # second element walks each run from offset 1.. L-1, paired
+            # with every earlier element of the same run
+            pos_in_run = np.arange(len(st)) - run_start[run_id]
+            # for position p>0 in its run: p partners (all earlier)
+            reps = pos_in_run  # number of earlier partners
+            if int(reps.sum()) <= _MAX_PAIR_INCIDENCE:
+                snd = np.repeat(np.arange(len(st)), reps)
+                # earlier-partner positions: for each snd occurrence k-th
+                # copy of element at absolute position a with run start s:
+                # s + k
+                cum = np.concatenate([[0], np.cumsum(reps)])
+                k = np.arange(len(snd)) - cum[np.repeat(np.arange(len(st)), reps)]
+                fst = run_start[run_id[snd]] + k
+                ra, rb = sr[fst], sr[snd]
+                plo = np.minimum(ra, rb)
+                phi = np.maximum(ra, rb)
+                counts = np.bincount(plo * n + phi, minlength=n * n)
+                inter = counts[lo * n + hi].astype(np.float64)
+            else:
+                # dense-duplicate fallback: sorted-unique token arrays →
+                # two-pointer intersection per surviving pair
+                inter = np.empty(len(li), dtype=np.float64)
+                for t in range(len(li)):
+                    inter[t] = np.intersect1d(
+                        toks[lo[t]], toks[hi[t]], assume_unique=True
+                    ).size
+        else:
+            inter = np.zeros(len(li), dtype=np.float64)
         na, nb = lens[li], lens[ri]
         denom = np.sqrt((na * nb).astype(np.float64))
         with np.errstate(divide="ignore", invalid="ignore"):
@@ -406,6 +440,15 @@ def salted_block_pair_scores(
     return grouped.groupBy("_key", "_gi", "_gj").applyInPandas(solve, schema=schema)
 
 
+# Opaque band-key string format produced by minhash_band_keys. Band keys are
+# PERSISTED in the streaming state store's secondary index and joined against
+# freshly computed arrival keys, so any change to the key derivation (e.g.
+# the round-2 murmur → fold-mix switch) MUST bump this token: the streaming
+# engine stores it next to the state and rebuilds the index on mismatch
+# instead of silently matching zero keys.
+BAND_KEY_FORMAT = "minhash-foldmix-v1"
+
+
 def minhash_band_keys(
     token_col: Column, bands: int, rows_per_band: int, seed: int = 42
 ) -> Column:
@@ -425,6 +468,15 @@ def minhash_band_keys(
     Java ``pmod``), so bucket structure — and therefore every candidate
     pair — is unchanged; only the opaque key string differs
     (fold-mix instead of murmur of the joined slice).
+
+    EMPTY/NULL token arrays yield NO band keys (the record does not
+    participate in LSH candidate lookup). This is deliberate and differs
+    from the composed-Column spec, whose ``concat_ws`` over an all-null
+    signature produced one deterministic key that co-bucketed every
+    empty-trigram record into a single quadratic bucket where each pair
+    scored 1.0 (empty vs empty) — the same degenerate merge the null-key
+    policy of ``salted_block_pair_scores`` excludes. A test pins this
+    (test_vectorized_band_keys_empty_tokens).
     """
     import random
 

@@ -82,6 +82,13 @@ def word_shingles(col: Column, n: int = 3) -> Column:
     from pyspark.sql import types as T
     from pyspark.sql.functions import pandas_udf
 
+    import re
+
+    # Java/Spark regex \s is ASCII-only ([ \t\n\x0B\f\r]); Python str.split()
+    # splits on Unicode whitespace (NBSP, thin space, …), which diverges from
+    # the spec on such text — split with an ASCII-\s regex instead.
+    _ws = re.compile(r"\s+", flags=re.ASCII)
+
     @pandas_udf(T.ArrayType(T.StringType()))
     def _shingles(texts: pd.Series) -> pd.Series:
         out = []
@@ -89,7 +96,7 @@ def word_shingles(col: Column, n: int = 3) -> Column:
             if t is None:
                 out.append(None)
                 continue
-            words = t.lower().split()
+            words = [w for w in _ws.split(t.lower()) if w]
             cnt = len(words)
             if cnt >= n:
                 grams = [" ".join(words[i : i + n]) for i in range(cnt - n + 1)]

@@ -227,6 +227,31 @@ class StreamingERJob:
             rcfg.lsh_seed,
         )
 
+    # -- band-key index versioning ------------------------------------------
+    # band_keys are PERSISTED in state and equi-joined against freshly
+    # computed arrival keys; if the key derivation ever changes (it did in
+    # round 2: murmur → fold-mix), resuming an old checkpoint would silently
+    # match zero stored keys and degrade affected-cluster lookup to
+    # blocking-key-only. The format token is stored next to the state; on
+    # mismatch the index is rebuilt from the state's trigram sets and a
+    # compaction is forced so the rebuilt keys persist.
+
+    def _band_format_path(self) -> str:
+        return os.path.join(self.cfg.state_dir, "_band_format.json")
+
+    def _stored_band_format(self) -> str | None:
+        try:
+            with open(self._band_format_path()) as f:
+                return json.load(f)["format"]
+        except (OSError, ValueError, KeyError):
+            return None
+
+    def _save_band_format(self) -> None:
+        from ..operators.blocking import BAND_KEY_FORMAT
+
+        with open(self._band_format_path(), "w") as f:
+            json.dump({"format": BAND_KEY_FORMAT}, f)
+
     # -- watermark bookkeeping --------------------------------------------
 
     def _max_event_time(self) -> float | None:
@@ -320,6 +345,20 @@ class StreamingERJob:
         arrivals = _cluster_state(prepared, rcfg.use_audio)
         band_expr = self._band_keys_expr(rcfg)
         state = self._load_state(batch_id)
+        index_rebuilt = False
+        if state is not None:
+            from ..operators.blocking import BAND_KEY_FORMAT
+
+            stored_fmt = self._stored_band_format()
+            if stored_fmt != BAND_KEY_FORMAT:
+                print(
+                    f"[batch {batch_id}] band-key index format "
+                    f"{stored_fmt!r} != {BAND_KEY_FORMAT!r}: rebuilding "
+                    "state index from trigram sets",
+                    flush=True,
+                )
+                state = state.withColumn("band_keys", band_expr)
+                index_rebuilt = True
         if state is not None:
             arr_keys = arrivals.select("blocking_key").distinct()
             arr_bands = (
@@ -380,7 +419,11 @@ class StreamingERJob:
             for b, k in prev_entries
             if k == "delta" and (not fulls_before or b > fulls_before[-1])
         ]
-        compacted = state is None or len(deltas_since) + 1 >= cfg.compact_every
+        compacted = (
+            state is None
+            or index_rebuilt  # persist the rebuilt band-key index
+            or len(deltas_since) + 1 >= cfg.compact_every
+        )
         if compacted:
             full = (
                 new_rows
@@ -402,6 +445,7 @@ class StreamingERJob:
 
         # ---- state commit + watermark + lineage
         self._commit_state(batch_id, compacted, n_clusters)
+        self._save_band_format()
         if new_max is not None:
             self._save_max_event_time(new_max)
         lineage_path = os.path.join(cfg.lineage_dir, f"batch_id={batch_id}")

@@ -564,3 +564,115 @@ def test_block_local_scores_match_join_path(spark):
         ).collect()
     }
     assert kept == {p: s for p, s in want.items() if s >= 0.4}
+
+
+def test_block_local_scores_null_key_excluded(spark):
+    """Null blocking keys must match NOTHING (equi-join semantics): two
+    cross-source records with null transcripts → null key + empty trigram
+    sets must NOT pair up (they would score 1.0 empty-vs-empty and merge),
+    and must not form a single unsalted null-key block."""
+    from mapping_analysis_spark.functions.similarity import trigram_set
+    from mapping_analysis_spark.operators.blocking import salted_block_pair_scores
+
+    rows = [
+        (1, None, 1, None),
+        (2, None, 2, None),
+        (3, "ka", 1, "alpha beta"),
+        (4, "ka", 2, "alpha beta"),
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, blocking_key string, sources_mask long, text string"
+    ).withColumn(
+        "_tg",
+        F.array_sort(
+            F.transform(
+                F.coalesce(trigram_set(F.col("text")), F.array().cast("array<string>")),
+                lambda t: F.xxhash64(t),
+            )
+        ),
+    )
+    got = {
+        (r.src, r.dst): r.sim_text
+        for r in salted_block_pair_scores(df, max_sources=3).collect()
+    }
+    assert (1, 2) not in got
+    assert set(got) == {(3, 4)}
+
+
+def test_block_local_scores_dense_fallback(spark):
+    """A dense near-duplicate block exceeding the pair-incidence cap must
+    fall back to per-pair intersection with IDENTICAL scores (memory-bound
+    path, same values)."""
+    from mapping_analysis_spark.functions.similarity import trigram_set
+    from mapping_analysis_spark.operators import blocking
+    from mapping_analysis_spark.operators.blocking import salted_block_pair_scores
+
+    # one block of 40 records sharing a long common text → every token is a
+    # 40-long run: incidence = n_tokens * 40*39/2, trivially over a tiny cap
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, "kx", 1 << (i % 4), f"{base} variant {i % 5}") for i in range(40)]
+    df = spark.createDataFrame(
+        rows, "id long, blocking_key string, sources_mask long, text string"
+    ).withColumn(
+        "_tg",
+        F.array_sort(F.transform(trigram_set(F.col("text")), lambda t: F.xxhash64(t))),
+    )
+    want = {
+        (r.src, r.dst): r.sim_text
+        for r in salted_block_pair_scores(df, max_sources=3).collect()
+    }
+    old = blocking._MAX_PAIR_INCIDENCE
+    blocking._MAX_PAIR_INCIDENCE = 100  # force the fallback
+    try:
+        got = {
+            (r.src, r.dst): r.sim_text
+            for r in salted_block_pair_scores(df, max_sources=3).collect()
+        }
+    finally:
+        blocking._MAX_PAIR_INCIDENCE = old
+    assert got == want and len(got) > 100
+
+
+def test_word_shingles_unicode_whitespace(spark):
+    """NBSP / thin-space must NOT split words (Java \\s is ASCII-only):
+    the Arrow path must equal the composed-Column spec on such text."""
+    from mapping_analysis_spark.operators.dedup import word_shingles, word_shingles_spec
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),     # NBSP inside a "word"
+            (2, "one two three four five"),    # thin space
+            (3, "tab\tsplit  and\nnewline runs"),   # ASCII ws runs
+        ],
+        "id long, text string",
+    )
+    rows = df.select(
+        "id",
+        word_shingles(F.col("text"), 3).alias("fast"),
+        word_shingles_spec(F.col("text"), 3).alias("spec"),
+    ).collect()
+    for r in rows:
+        assert r.fast == r.spec, r.id
+    got = {r.id: r.fast for r in rows}
+    # NBSP-joined token stays one word
+    assert got[1] == ["alpha beta gamma delta"]
+
+
+def test_vectorized_band_keys_empty_tokens(spark):
+    """Records with empty or null trigram sets produce NO band keys — they
+    are excluded from LSH candidate lookup by design (the spec column
+    co-bucketed all of them into one degenerate 1.0-scoring bucket)."""
+    from mapping_analysis_spark.operators.blocking import minhash_band_keys
+
+    df = spark.createDataFrame(
+        [(1, []), (2, []), (3, ["abc", "bcd"])],
+        "id long, tg array<string>",
+    )
+    got = {
+        r.id: r.k
+        for r in df.select(
+            "id", minhash_band_keys(F.col("tg"), 4, 2, 42).alias("k")
+        ).collect()
+    }
+    assert got[1] == [] and got[2] == []
+    assert len(got[3]) == 4

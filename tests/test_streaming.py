@@ -392,3 +392,68 @@ def test_batch_observations(spark):
     assert obs_in["blocking_keys"] > 0
     assert obs_out["clusters"] == n_clusters
     assert obs_out["members_total"] == obs_in["rows"]
+
+
+def test_band_key_index_rebuild_on_format_change(spark, corpus, tmp_path):
+    """The band-key secondary index is versioned: resuming a state store
+    whose stored format token differs from the current BAND_KEY_FORMAT must
+    rebuild the index from the state's trigram sets (and force a compaction
+    to persist it) instead of silently matching zero stored keys."""
+    import json
+    import time
+
+    from mapping_analysis_spark.operators.blocking import (
+        BAND_KEY_FORMAT,
+        minhash_band_keys,
+    )
+    from mapping_analysis_spark.operators.clustering import ClusterRoundConfig
+
+    source_dir, _ = corpus
+    work = str(tmp_path / "w")
+    cfg = StreamingERConfig(
+        source_dir=source_dir,
+        work_dir=work,
+        watermark_delay_sec=24 * 3600,
+        max_files_per_trigger=1,
+        pipeline=PipelineConfig(min_sim=0.7),
+    )
+    job = StreamingERJob(spark, cfg)
+    q = job.start(available_now=False)
+    deadline = time.time() + 300
+    while time.time() < deadline:
+        if len(job._committed_versions()) >= 2:
+            break
+        time.sleep(1)
+    q.stop()
+    q.awaitTermination(60)
+    entries_before = job._state_entries()
+    assert len(entries_before) >= 2
+    # simulate a checkpoint written by an older engine: stale format token
+    with open(job._band_format_path(), "w") as f:
+        json.dump({"format": "murmur-v0"}, f)
+    # resume: the first batch must detect the mismatch, rebuild, and force a
+    # full snapshot (compact_every=8 would otherwise leave it a delta)
+    job2 = StreamingERJob(spark, cfg)
+    q2 = job2.start(available_now=True)
+    q2.awaitTermination(300)
+    entries_after = job2._state_entries()
+    resumed = [e for e in entries_after if e not in entries_before]
+    assert resumed, "resume processed no batches"
+    assert resumed[0][1] == "full", "format mismatch must force compaction"
+    assert job2._stored_band_format() == BAND_KEY_FORMAT
+    # every persisted band_keys row equals a fresh recomputation from its
+    # trigram set (i.e. the index is in the CURRENT format everywhere)
+    rcfg = ClusterRoundConfig(min_sim=0.7)
+    state = job2.final_state()
+    recomputed = state.withColumn(
+        "_fresh",
+        minhash_band_keys(
+            F.col("trigram_set"), rcfg.lsh_bands, rcfg.lsh_rows_per_band, rcfg.lsh_seed
+        ),
+    )
+    bad = recomputed.filter(F.col("band_keys") != F.col("_fresh")).count()
+    assert bad == 0
+    # and membership still covers every clip exactly once
+    flat = [m for r in state.select("members").collect() for m in r.members]
+    total = spark.read.parquet(source_dir).count()
+    assert len(flat) == len(set(flat)) == total
