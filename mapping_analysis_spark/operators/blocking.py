@@ -220,16 +220,26 @@ def salted_block_pair_scores(
     key_col: str = "blocking_key",
     id_col: str = "id",
     tokens_col: str = "_tg",
-    mask_col: str = "sources_mask",
+    mask_col: str | None = "sources_mask",
     max_block_rows: int = 256,
     max_sources: int = 5,
     emit_min: float | None = None,
+    metric: str = "cosine",
 ) -> DataFrame:
     """Blocked pair SIMILARITIES computed block-locally: (src, dst,
     sim_text) for every cross-source pair within a block, where sim_text =
     set-cosine |A∩B|/√(|A||B|) over the SORTED int64 token arrays in
     ``tokens_col``, 6dp HALF_UP — value-identical to
     ``cosine_trigram_from_sets`` (a test pins them equal).
+
+    ``metric="jaccard"`` scores |A∩B|/|A∪B| instead, UNROUNDED —
+    value-identical to ``dedup.jaccard_from_sets`` (both-empty → 1.0),
+    so callers that filter at full precision and round only for display
+    (``ngram_jaccard_pairs``) keep exactly their old pair set and values.
+
+    ``mask_col=None`` disables the cross-source restriction entirely
+    (every in-block pair is scored once) — the shape the generic document
+    dedup queries need, where records carry no source mask.
 
     Why not score on the pair join's output (salted_block_pairs →
     cosine)? The scoring expression is not codegen-able, so the join
@@ -266,6 +276,13 @@ def salted_block_pair_scores(
 
     from ..functions.local_sim import round_half_up
 
+    if metric not in ("cosine", "jaccard"):
+        raise ValueError(f"unknown metric {metric!r}")
+    if mask_col is None:
+        # no restriction: a zero mask passes both in-group checks
+        # ((0 & 0) == 0 and popcount sum 0 ≤ max_sources) for every pair
+        df = df.withColumn("_no_mask", F.lit(0).cast("long"))
+        mask_col = "_no_mask"
     df = df.filter(F.col(key_col).isNotNull())
     sizes = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("_block_n"))
     with_cell = (
@@ -411,18 +428,26 @@ def salted_block_pair_scores(
         else:
             inter = np.zeros(len(li), dtype=np.float64)
         na, nb = lens[li], lens[ri]
-        denom = np.sqrt((na * nb).astype(np.float64))
-        with np.errstate(divide="ignore", invalid="ignore"):
-            x = np.where(denom > 0, inter / denom, 0.0)
-        x = np.where((na == 0) & (nb == 0), 1.0, x)
-        # HALF_UP at 6dp, vectorized; rows near the .5 boundary fall back
-        # to the Decimal(repr(x)) kernel (matches F.round exactly)
-        y = x * 1e6
-        sim = np.floor(y + 0.5) / 1e6
-        near = np.abs(y - np.floor(y) - 0.5) < 1e-6
-        if near.any():
-            for t in np.flatnonzero(near):
-                sim[t] = round_half_up(float(x[t]), 6)
+        if metric == "jaccard":
+            union = (na + nb).astype(np.float64) - inter
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sim = np.where(union > 0, inter / union, 1.0)
+            # UNROUNDED (jaccard_from_sets semantics): the emit_min filter
+            # below and any caller-side rounding then match the Column
+            # path's filter-at-full-precision / round-for-display order
+        else:
+            denom = np.sqrt((na * nb).astype(np.float64))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                x = np.where(denom > 0, inter / denom, 0.0)
+            x = np.where((na == 0) & (nb == 0), 1.0, x)
+            # HALF_UP at 6dp, vectorized; rows near the .5 boundary fall
+            # back to the Decimal(repr(x)) kernel (matches F.round exactly)
+            y = x * 1e6
+            sim = np.floor(y + 0.5) / 1e6
+            near = np.abs(y - np.floor(y) - 0.5) < 1e-6
+            if near.any():
+                for t in np.flatnonzero(near):
+                    sim[t] = round_half_up(float(x[t]), 6)
         if emit is not None:
             keep = sim >= emit
             li, ri, sim = li[keep], ri[keep], sim[keep]

@@ -461,6 +461,79 @@ def test_word_shingles_matches_spec(spark):
         assert r.fast == r.spec, r.doc_id
 
 
+def test_hashed_trigram_tokens_matches_spec(spark):
+    """Arrow-batched hashed_trigram_tokens must be SET-equivalent to the
+    trigram_set Column chain on real corpus text: same set SIZE per record
+    and same pairwise intersections (what the scorer consumes) — i.e. the
+    blake2b-64 hashing is injective on the corpus vocabulary and the
+    trigram extraction (simplify → padded 3-grams → distinct) matches.
+    Also pins null → [] (the Column chain's null behavior) and "" →
+    one-token set {"###"}."""
+    from mapping_analysis_spark.functions.similarity import (
+        cosine_trigram_from_sets,
+        hashed_trigram_tokens,
+        trigram_set,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").limit(200)
+    rows = docs.select(
+        "doc_id",
+        hashed_trigram_tokens(F.col("text")).alias("fast"),
+        trigram_set(F.col("text")).alias("spec"),
+    ).collect()
+    assert len(rows) == 200
+    spec_sets = {}
+    for r in rows:
+        assert len(r.fast) == len(set(r.fast)) == len(set(r.spec)), r.doc_id
+        spec_sets[r.doc_id] = (frozenset(r.fast), frozenset(r.spec))
+    ids = sorted(spec_sets)[:40]
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            fa, sa = spec_sets[a]
+            fb, sb = spec_sets[b]
+            assert len(fa & fb) == len(sa & sb), (a, b)
+
+    edge = spark.createDataFrame([(1, None), (2, ""), (3, "ab")], "id long, text string")
+    got = {
+        r.id: (r.fast, r.spec)
+        for r in edge.select(
+            "id",
+            hashed_trigram_tokens(F.col("text")).alias("fast"),
+            trigram_set(F.col("text")).alias("spec"),
+        ).collect()
+    }
+    assert got[1][0] == [] and got[1][1] == []
+    assert len(got[2][0]) == len(got[2][1]) == 1  # {"###"}
+    assert len(got[3][0]) == len(got[3][1]) == len(set(got[3][1]))
+
+    # end to end: scores via the vectorized tokens equal the Column spec
+    pairs = (
+        docs.limit(30)
+        .select("doc_id", hashed_trigram_tokens(F.col("text")).alias("t"),
+                trigram_set(F.col("text")).alias("s"))
+        .alias("l")
+        .crossJoin(
+            docs.limit(30)
+            .select(F.col("doc_id").alias("rid"),
+                    hashed_trigram_tokens(F.col("text")).alias("rt"),
+                    trigram_set(F.col("text")).alias("rs"))
+            .alias("r")
+        )
+        .filter(F.col("doc_id") < F.col("rid"))
+    )
+    from mapping_analysis_spark.functions.similarity import cosine_hashed_sets
+
+    chk = pairs.select(
+        cosine_hashed_sets(
+            F.array_sort("t"), F.array_sort("rt")
+        ).alias("fast"),
+        cosine_trigram_from_sets(F.col("s"), F.col("rs")).alias("spec"),
+    ).collect()
+    assert len(chk) == 435
+    for r in chk:
+        assert r.fast == r.spec
+
+
 def test_word_shingles_edges(spark):
     from mapping_analysis_spark.operators.dedup import word_shingles
 
@@ -564,6 +637,66 @@ def test_block_local_scores_match_join_path(spark):
         ).collect()
     }
     assert kept == {p: s for p, s in want.items() if s >= 0.4}
+
+
+def test_block_local_scores_jaccard_matches_join_path(spark):
+    """metric="jaccard" + mask_col=None must reproduce the old id-only
+    pair enumeration + per-pair jaccard_from_sets join path exactly:
+    same pair set (no mask restriction — every in-block pair once), same
+    UNROUNDED values, including both-empty → 1.0."""
+    from mapping_analysis_spark.operators.blocking import (
+        salted_block_pair_scores,
+        salted_block_pairs,
+    )
+    from mapping_analysis_spark.operators.dedup import (
+        jaccard_from_sets,
+        word_shingles,
+    )
+
+    rows = [
+        (i, f"k{i % 3}", f"sample text number {i // 4} drift {i % 7}")
+        for i in range(90)
+    ] + [(900, "k0", ""), (901, "k0", "")]  # both-empty shingles → 1.0
+    df = spark.createDataFrame(rows, "id long, blocking_key string, text string")
+    base = df.withColumn("_sh", word_shingles(F.col("text"), 2)).withColumn(
+        "_tok", F.array_sort(F.transform(F.col("_sh"), lambda s: F.xxhash64(s)))
+    )
+    got = {
+        (r.src, r.dst): r.sim_text
+        for r in salted_block_pair_scores(
+            base,
+            tokens_col="_tok",
+            mask_col=None,
+            max_block_rows=16,
+            metric="jaccard",
+        ).collect()
+    }
+    spec = salted_block_pairs(
+        base.select("id", "blocking_key", "_sh"),
+        max_block_rows=16,
+        payload_cols=["_sh"],
+    ).select(
+        "src",
+        "dst",
+        jaccard_from_sets(F.col("src__sh"), F.col("dst__sh")).alias("j"),
+    )
+    want = {(r.src, r.dst): r.j for r in spec.collect()}
+    assert got == want and len(got) > 100
+    assert got[(900, 901)] == 1.0
+
+    # emit_min filters at FULL precision (jaccard is unrounded)
+    kept = {
+        (r.src, r.dst)
+        for r in salted_block_pair_scores(
+            base,
+            tokens_col="_tok",
+            mask_col=None,
+            max_block_rows=16,
+            metric="jaccard",
+            emit_min=0.3,
+        ).collect()
+    }
+    assert kept == {p for p, s in want.items() if s >= 0.3}
 
 
 def test_block_local_scores_null_key_excluded(spark):
