@@ -255,42 +255,117 @@ def simhash_candidates(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     chunks: int = 4,
+    max_bucket: int = 256,
 ) -> DataFrame:
     """Near-dup candidates within Hamming ≤ max_hamming via chunk banding:
     split the 64-bit simhash into ``chunks`` pieces; any pair within
     Hamming ≤ chunks−1 shares ≥1 identical chunk (pigeonhole). Returns
     (src, dst, hamming) verified exactly. Token-less documents are excluded
     (their fingerprint would be the degenerate all-zero value and every
-    such pair would collide at Hamming 0)."""
+    such pair would collide at Hamming 0).
+
+    Scale shape — two defenses against hot chunk values (each band has only
+    2^(64/chunks) distinct values; low-entropy corpora pile up on few):
+
+    1. **Hierarchical sub-banding.** A band bucket larger than
+       ``max_bucket`` is re-keyed by a SECOND chunking of the fingerprint
+       rotated by width/2 bits. Pigeonhole applies again (chunks >
+       max_hamming both levels): a qualifying pair differs in ≤ max_hamming
+       bits of the rotated word too, so it shares ≥ 1 rotated chunk — it
+       lands in a common sub-bucket. Recall is EXACT, not approximate:
+       a pair sharing the hot chunk but NO rotated chunk must differ in
+       ≥ chunks > max_hamming bits and would fail the Hamming verify
+       anyway, so the final pair set is provably unchanged. Hot-bucket
+       rows replicate ``chunks``× while sub-buckets shrink by the rotated
+       chunk's entropy.
+    2. **Salted triangle enumeration** (``salted_block_pairs``) within the
+       final buckets: a bucket of truly identical fingerprints — whose
+       candidate pairs are legitimately quadratic — spreads its pair
+       enumeration over ~(n/max_bucket)²/2 tasks instead of one.
+
+    The only per-pair payload is the 8-byte fingerprint itself."""
+    from .blocking import salted_block_pairs
+
+    if chunks <= max_hamming:
+        raise ValueError(
+            f"chunks ({chunks}) must exceed max_hamming ({max_hamming}) "
+            "for the pigeonhole guarantee"
+        )
     width = 64 // chunks
     tokens = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != "")
     sh = (
         df.filter(F.size(tokens) > 0)
         .select(F.col(id_col).alias("_id"), simhash64(F.col(text_col)).alias("_sh"))
     )
-    parts = []
-    for i in range(chunks):
-        chunk = F.shiftrightunsigned(F.col("_sh"), i * width).bitwiseAND(
+
+    def _chunk(hash_col: Column, i: int) -> Column:
+        return F.shiftrightunsigned(hash_col, i * width).bitwiseAND(
             F.lit((1 << width) - 1)
         )
+
+    parts = []
+    for i in range(chunks):
         parts.append(
             sh.select(
-                "_id", "_sh", F.concat_ws(":", F.lit(str(i)), chunk.cast("string")).alias("_band")
+                "_id",
+                "_sh",
+                F.concat_ws(
+                    ":", F.lit(str(i)), _chunk(F.col("_sh"), i).cast("string")
+                ).alias("_band"),
             )
         )
     banded = parts[0]
     for p in parts[1:]:
         banded = banded.unionByName(p)
-    l, r = banded.alias("l"), banded.alias("r")
-    return (
-        l.join(
-            r,
-            (F.col("l._band") == F.col("r._band")) & (F.col("l._id") < F.col("r._id")),
+
+    # hot/small split: only oversized bands are broadcast (few hot keys)
+    hot_keys = (
+        banded.groupBy("_band")
+        .agg(F.count(F.lit(1)).alias("_bn"))
+        .filter(F.col("_bn") > max_bucket)
+        .select("_band")
+    )
+    classified = banded.join(
+        F.broadcast(hot_keys.withColumn("_hot", F.lit(True))), "_band", "left"
+    )
+    small = classified.filter(F.col("_hot").isNull()).select("_id", "_sh", "_band")
+    hot = classified.filter(F.col("_hot")).select("_id", "_sh", "_band")
+    # sub-band hot buckets on the rotated fingerprint (rotate right by
+    # width/2 so second-level chunks straddle first-level boundaries)
+    rot = width // 2
+    rotated = F.shiftrightunsigned(F.col("_sh"), rot).bitwiseOR(
+        F.shiftleft(F.col("_sh"), 64 - rot)
+    )
+    sub_parts = []
+    for j in range(chunks):
+        sub_parts.append(
+            hot.select(
+                "_id",
+                "_sh",
+                F.concat_ws(
+                    ":",
+                    F.col("_band"),
+                    F.lit(str(j)),
+                    _chunk(rotated, j).cast("string"),
+                ).alias("_band"),
+            )
         )
-        .select(
-            F.col("l._id").alias("src"),
-            F.col("r._id").alias("dst"),
-            hamming64(F.col("l._sh"), F.col("r._sh")).alias("hamming"),
+    final = small
+    for p in sub_parts:
+        final = final.unionByName(p)
+
+    pairs = salted_block_pairs(
+        final,
+        key_col="_band",
+        id_col="_id",
+        max_block_rows=max_bucket,
+        payload_cols=["_sh"],
+    )
+    return (
+        pairs.select(
+            "src",
+            "dst",
+            hamming64(F.col("src__sh"), F.col("dst__sh")).alias("hamming"),
         )
         .dropDuplicates(["src", "dst"])
         .filter(F.col("hamming") <= max_hamming)

@@ -445,6 +445,56 @@ def test_simhash_identical_and_different(spark):
     assert d > 8
 
 
+def test_simhash_candidates_low_entropy_corpus(spark):
+    """Degenerate corpus that previously went quadratic in ONE task: many
+    documents drawn from 3 templates (few distinct fingerprints → hot chunk
+    buckets). With max_bucket small enough to force BOTH hierarchical
+    sub-banding and salted enumeration, the pair set must equal (a) the
+    unsplit run (max_bucket=10^9) and (b) the brute-force rule
+    {share ≥1 chunk AND hamming ≤ 3}."""
+    from mapping_analysis_spark.operators.dedup import (
+        hamming64,
+        simhash64,
+        simhash_candidates,
+    )
+
+    tmpl = [
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "alpha beta gamma delta epsilon zeta eta iota",
+        "one two three four five six seven eight nine",
+    ]
+    rows = [(i, tmpl[i % 3] + (" extra" if i % 17 == 0 else "")) for i in range(240)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    split = {
+        (r.src, r.dst): r.hamming
+        for r in simhash_candidates(df, max_hamming=3, max_bucket=16).collect()
+    }
+    unsplit = {
+        (r.src, r.dst): r.hamming
+        for r in simhash_candidates(df, max_hamming=3, max_bucket=10**9).collect()
+    }
+    assert split == unsplit and len(split) > 1000
+
+    # brute force the candidate rule
+    sh = {r.doc_id: r.sh for r in df.select(
+        "doc_id", simhash64(F.col("text")).alias("sh")).collect()}
+    width = 16
+    brute = {}
+    ids = sorted(sh)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            x, y = sh[a], sh[b]
+            ham = bin((x ^ y) & ((1 << 64) - 1)).count("1")
+            share = any(
+                ((x >> (k * width)) & 0xFFFF) == ((y >> (k * width)) & 0xFFFF)
+                for k in range(4)
+            )
+            if share and ham <= 3:
+                brute[(a, b)] = ham
+    assert split == brute
+
+
 def test_word_shingles_matches_spec(spark):
     """Arrow-batched word_shingles must equal the composed-Column spec on
     real corpus text (order included)."""
