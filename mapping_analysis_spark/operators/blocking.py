@@ -166,6 +166,100 @@ _MERSENNE = (1 << 31) - 1
 _MAX_PAIR_INCIDENCE = 2_000_000
 
 
+def cell_pair_grid(cells, gi: int, gj: int):
+    """Candidate index pairs (li, ri) for one salt-cell pair (gi, gj) of a
+    block-local scoring group: the full cross grid between the two cells,
+    or the strict upper triangle when gi == gj. Shared by every grouped-map
+    enumerate-and-score kernel (music text scorer, geo 3-channel scorer)."""
+    import numpy as np
+
+    left_idx = np.flatnonzero(cells == gi)
+    if gi == gj:
+        li, ri = np.triu_indices(len(left_idx), k=1)
+        return left_idx[li], left_idx[ri]
+    right_idx = np.flatnonzero(cells == gj)
+    li = np.repeat(left_idx, len(right_idx))
+    ri = np.tile(right_idx, len(left_idx))
+    return li, ri
+
+
+def pair_intersection_counts(toks, lens, lo, hi):
+    """|T_lo ∩ T_hi| for each requested index pair, over per-record
+    sorted-UNIQUE int64 token arrays, in one vectorized pass: flatten
+    tokens, sort, then every run of equal token values contributes all its
+    record pairs; one bincount over packed (lo*n + hi) pair codes yields
+    the dense count matrix. Per-pair cost is a few streamed C ops — the
+    per-pair searchsorted loop (~7 µs/pair in Python OR boxed JVM sets) is
+    what this replaces; at ~1B candidates per 300k-clip corpus that
+    constant is the whole stage.
+
+    MEMORY CAP: the run enumeration materializes one int64 entry per
+    shared-token pair occurrence (Σ L·(L−1)/2 over equal-value runs)
+    across ~7 temp arrays (~56 B/entry). A 512-row group of near-duplicates
+    sharing hundreds of trigrams would allocate tens of millions of entries
+    per task × concurrent task slots, so when the incidence count exceeds
+    ``_MAX_PAIR_INCIDENCE`` (~2M entries ≈ 110 MB peak) we fall back to
+    per-pair sorted intersection over ONLY the surviving pairs — identical
+    counts, bounded memory."""
+    import numpy as np
+
+    n = len(toks)
+    if n <= 1 or lens.sum() == 0:
+        return np.zeros(len(lo), dtype=np.float64)
+    all_tok = np.concatenate([t for t in toks if len(t)])
+    rec_of = np.repeat(np.arange(n), lens)
+    order = np.argsort(all_tok, kind="stable")
+    st, sr = all_tok[order], rec_of[order]
+    newrun = np.empty(len(st), dtype=bool)
+    newrun[0] = True
+    np.not_equal(st[1:], st[:-1], out=newrun[1:])
+    run_id = np.cumsum(newrun) - 1
+    run_start = np.flatnonzero(newrun)
+    # enumerate (i<j) position pairs inside each run, vectorized: the
+    # second element walks each run from offset 1..L-1, paired with every
+    # earlier element of the same run
+    pos_in_run = np.arange(len(st)) - run_start[run_id]
+    reps = pos_in_run  # number of earlier partners per position
+    if int(reps.sum()) <= _MAX_PAIR_INCIDENCE:
+        snd = np.repeat(np.arange(len(st)), reps)
+        # earlier-partner positions: the k-th copy of the element at
+        # absolute position a (run start s) partners position s + k
+        cum = np.concatenate([[0], np.cumsum(reps)])
+        k = np.arange(len(snd)) - cum[np.repeat(np.arange(len(st)), reps)]
+        fst = run_start[run_id[snd]] + k
+        ra, rb = sr[fst], sr[snd]
+        plo = np.minimum(ra, rb)
+        phi = np.maximum(ra, rb)
+        counts = np.bincount(plo * n + phi, minlength=n * n)
+        return counts[lo * n + hi].astype(np.float64)
+    # dense-duplicate fallback: two-pointer intersection per surviving pair
+    inter = np.empty(len(lo), dtype=np.float64)
+    for t in range(len(lo)):
+        inter[t] = np.intersect1d(toks[lo[t]], toks[hi[t]], assume_unique=True).size
+    return inter
+
+
+def round_half_up_vec6(x):
+    """HALF_UP at 6dp, vectorized — matches ``F.round(_, 6)`` exactly: the
+    fast path uses floor(x·1e6 + 0.5); rows within 1e-6 of the .5 tie fall
+    back to the Decimal(repr(x)) kernel (``local_sim.round_half_up``), the
+    same kernel the local merge re-check uses. NaNs pass through."""
+    import numpy as np
+
+    from ..functions.local_sim import round_half_up
+
+    with np.errstate(invalid="ignore"):
+        y = x * 1e6
+        out = np.floor(y + 0.5) / 1e6
+        near = np.abs(y - np.floor(y) - 0.5) < 1e-6
+    near &= ~np.isnan(x)
+    if near.any():
+        for t in np.flatnonzero(near):
+            out[t] = round_half_up(float(x[t]), 6)
+    out = np.where(np.isnan(x), np.nan, out)
+    return out
+
+
 def minhash_signature(
     trigram_col: Column, num_hashes: int, seed: int = 42
 ) -> Column:
@@ -274,8 +368,6 @@ def salted_block_pair_scores(
     import pandas as pd
     from pyspark.sql import types as T
 
-    from ..functions.local_sim import round_half_up
-
     if metric not in ("cosine", "jaccard"):
         raise ValueError(f"unknown metric {metric!r}")
     if mask_col is None:
@@ -354,14 +446,7 @@ def salted_block_pair_scores(
         # ---- enumerate the group's valid pair grid first (the restriction
         # mask usually prunes hard, and the fallback path below only needs
         # intersections for surviving pairs)
-        left_idx = np.flatnonzero(cells == gi)
-        if gi == gj:
-            li, ri = np.triu_indices(len(left_idx), k=1)
-            li, ri = left_idx[li], left_idx[ri]
-        else:
-            right_idx = np.flatnonzero(cells == gj)
-            li = np.repeat(left_idx, len(right_idx))
-            ri = np.tile(right_idx, len(left_idx))
+        li, ri = cell_pair_grid(cells, gi, gj)
         if len(li) == 0:
             return _EMPTY.copy()
         nbits = np.array([bin(int(m)).count("1") for m in masks], dtype=np.int64)
@@ -371,62 +456,7 @@ def salted_block_pair_scores(
             return _EMPTY.copy()
         lo = np.minimum(li, ri)
         hi = np.maximum(li, ri)
-        # ---- pairwise intersection counts for the WHOLE group in one
-        # vectorized pass: flatten tokens, sort, then every run of equal
-        # token values contributes all its record pairs; one bincount over
-        # packed (lo*n + hi) pair codes yields the dense count matrix.
-        # Per-pair cost is a few streamed C ops — the per-pair
-        # searchsorted loop (~7 µs/pair in Python OR boxed JVM sets)
-        # is what this replaces; at ~1B candidates per 300k-clip corpus
-        # that constant is the whole stage.
-        #
-        # MEMORY CAP: the run enumeration materializes one int64 entry per
-        # shared-token pair occurrence (Σ L·(L−1)/2 over equal-value runs)
-        # across ~7 temp arrays (~56 B/entry). A 512-row group of
-        # near-duplicates sharing hundreds of trigrams would allocate tens
-        # of millions of entries per task × concurrent task slots, so when
-        # the incidence count exceeds ``_MAX_PAIR_INCIDENCE`` (~2M entries
-        # ≈ 110 MB peak) we fall back to per-pair sorted intersection over
-        # ONLY the surviving pairs — identical counts, bounded memory.
-        if n > 1 and lens.sum() > 0:
-            all_tok = np.concatenate([t for t in toks if len(t)])
-            rec_of = np.repeat(np.arange(n), lens)
-            order = np.argsort(all_tok, kind="stable")
-            st, sr = all_tok[order], rec_of[order]
-            newrun = np.empty(len(st), dtype=bool)
-            newrun[0] = True
-            np.not_equal(st[1:], st[:-1], out=newrun[1:])
-            run_id = np.cumsum(newrun) - 1
-            run_start = np.flatnonzero(newrun)
-            # enumerate (i<j) position pairs inside each run, vectorized:
-            # second element walks each run from offset 1.. L-1, paired
-            # with every earlier element of the same run
-            pos_in_run = np.arange(len(st)) - run_start[run_id]
-            # for position p>0 in its run: p partners (all earlier)
-            reps = pos_in_run  # number of earlier partners
-            if int(reps.sum()) <= _MAX_PAIR_INCIDENCE:
-                snd = np.repeat(np.arange(len(st)), reps)
-                # earlier-partner positions: for each snd occurrence k-th
-                # copy of element at absolute position a with run start s:
-                # s + k
-                cum = np.concatenate([[0], np.cumsum(reps)])
-                k = np.arange(len(snd)) - cum[np.repeat(np.arange(len(st)), reps)]
-                fst = run_start[run_id[snd]] + k
-                ra, rb = sr[fst], sr[snd]
-                plo = np.minimum(ra, rb)
-                phi = np.maximum(ra, rb)
-                counts = np.bincount(plo * n + phi, minlength=n * n)
-                inter = counts[lo * n + hi].astype(np.float64)
-            else:
-                # dense-duplicate fallback: sorted-unique token arrays →
-                # two-pointer intersection per surviving pair
-                inter = np.empty(len(li), dtype=np.float64)
-                for t in range(len(li)):
-                    inter[t] = np.intersect1d(
-                        toks[lo[t]], toks[hi[t]], assume_unique=True
-                    ).size
-        else:
-            inter = np.zeros(len(li), dtype=np.float64)
+        inter = pair_intersection_counts(toks, lens, lo, hi)
         na, nb = lens[li], lens[ri]
         if metric == "jaccard":
             union = (na + nb).astype(np.float64) - inter
@@ -440,14 +470,7 @@ def salted_block_pair_scores(
             with np.errstate(divide="ignore", invalid="ignore"):
                 x = np.where(denom > 0, inter / denom, 0.0)
             x = np.where((na == 0) & (nb == 0), 1.0, x)
-            # HALF_UP at 6dp, vectorized; rows near the .5 boundary fall
-            # back to the Decimal(repr(x)) kernel (matches F.round exactly)
-            y = x * 1e6
-            sim = np.floor(y + 0.5) / 1e6
-            near = np.abs(y - np.floor(y) - 0.5) < 1e-6
-            if near.any():
-                for t in np.flatnonzero(near):
-                    sim[t] = round_half_up(float(x[t]), 6)
+            sim = round_half_up_vec6(x)
         if emit is not None:
             keep = sim >= emit
             li, ri, sim = li[keep], ri[keep], sim[keep]

@@ -163,6 +163,208 @@ def geo_candidate_pairs(state: DataFrame, cfg: GeoConfig) -> DataFrame:
     )
 
 
+def geo_block_pair_scores(state: DataFrame, cfg: GeoConfig) -> DataFrame:
+    """Block-LOCAL enumerate-and-score for the geo path — the music path's
+    scale treatment applied to the 3-channel geo similarity. Returns
+    (src, dst, agg_sim ≥ cfg.min_sim).
+
+    Value-identical to ``geo_pair_sims(geo_candidate_pairs(state, cfg),
+    cfg)`` (pinned by test), but each record's NARROW payload — hashed
+    label-trigram array, lat/lon, hashed type sets, source mask — travels
+    once per salt cell instead of the full payload (members, label,
+    trigram arrays) riding the shuffle per PAIR. Pairs are enumerated,
+    restricted (MergeGeoTripletCreator.java:55-115: no source overlap,
+    summed sources ≤ max, generalized-type overlap with untyped passing)
+    and scored (GeoSimilarityFunction.java:34-90: label cosine-trigram +
+    geo distance + type, mean over voting channels) inside one vectorized
+    grouped-map pass; only id pairs and the aggregate leave the stage.
+
+    Channel kernels: label cosine via the shared run/bincount intersection
+    counts (6dp HALF_UP, both-empty → 1.0); geo distance via vectorized
+    haversine (R=6371 km, null/out-of-range coords → no vote, ≥150 km → 0,
+    else 1−d/150 km at 6dp); type sim via intersection counts on the
+    hashed canonical sets (direct → 1.0) plus a small per-pair set check
+    for the shaded direction only on typed, non-direct survivors
+    (SHADING_TYPE_SIM == 1.0)."""
+    import numpy as np
+
+    from ..functions.similarity import hashed_trigram_tokens
+    from ..functions.types import NO_TYPE, _shaded, shading_generalize
+    from .blocking import (
+        cell_pair_grid,
+        pair_intersection_counts,
+        round_half_up_vec6,
+    )
+
+    def _hset(col):
+        return F.array_sort(
+            F.transform(
+                F.coalesce(col, F.array().cast("array<string>")),
+                lambda t: F.xxhash64(t),
+            )
+        )
+
+    untyped = (
+        F.col("types").isNull()
+        | (F.size("types") == 0)
+        | F.array_contains(F.col("types"), NO_TYPE)
+    )
+    narrow = state.filter(F.col("blocking_key").isNotNull()).select(
+        F.col("id").alias("_id"),
+        F.col("blocking_key").alias("_key"),
+        F.col("sources_mask").alias("_mask"),
+        hashed_trigram_tokens(F.col("label")).alias("_tok"),
+        F.col("lat").alias("_lat"),
+        F.col("lon").alias("_lon"),
+        _hset(F.col("types")).alias("_tc"),
+        _hset(_shaded(F.col("types"))).alias("_ts"),
+        _hset(shading_generalize(F.col("types"))).alias("_tg2"),
+        untyped.alias("_untyped"),
+    )
+    sizes = narrow.groupBy("_key").agg(F.count(F.lit(1)).alias("_block_n"))
+    with_cell = (
+        narrow.join(
+            F.broadcast(sizes.filter(F.col("_block_n") > cfg.max_block_rows)),
+            "_key",
+            "left",
+        )
+        .withColumn(
+            "_n_cells",
+            F.coalesce(
+                F.ceil(F.col("_block_n") / F.lit(cfg.max_block_rows)).cast("int"),
+                F.lit(1),
+            ),
+        )
+        .withColumn(
+            "_cell", F.pmod(F.xxhash64(F.col("_id")), F.col("_n_cells")).cast("int")
+        )
+    )
+    pairs_of_cell = F.concat(
+        F.transform(
+            F.sequence(F.col("_cell"), F.col("_n_cells") - 1),
+            lambda j: F.struct(F.col("_cell").alias("i"), j.alias("j")),
+        ),
+        F.when(
+            F.col("_cell") > 0,
+            F.transform(
+                F.sequence(F.lit(0), F.col("_cell") - 1),
+                lambda i: F.struct(i.alias("i"), F.col("_cell").alias("j")),
+            ),
+        ).otherwise(F.expr("array()").cast("array<struct<i:int,j:int>>")),
+    )
+    grouped = with_cell.withColumn("_g", F.explode(pairs_of_cell)).select(
+        "_id", "_key", "_mask", "_tok", "_lat", "_lon", "_tc", "_ts", "_tg2",
+        "_untyped", "_cell",
+        F.col("_g.i").alias("_gi"),
+        F.col("_g.j").alias("_gj"),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("src", T.LongType(), False),
+            T.StructField("dst", T.LongType(), False),
+            T.StructField("agg_sim", T.DoubleType(), True),
+        ]
+    )
+    min_sim, max_sources = cfg.min_sim, cfg.max_sources
+    _EMPTY = pd.DataFrame(
+        {"src": pd.Series(dtype="int64"), "dst": pd.Series(dtype="int64"),
+         "agg_sim": pd.Series(dtype="float64")}
+    )
+
+    def solve(pdf: pd.DataFrame) -> pd.DataFrame:
+        gi, gj = int(pdf["_gi"].iloc[0]), int(pdf["_gj"].iloc[0])
+        ids = pdf["_id"].to_numpy()
+        masks = pdf["_mask"].to_numpy().astype(np.int64)
+        cells = pdf["_cell"].to_numpy()
+        n = len(ids)
+        li, ri = cell_pair_grid(cells, gi, gj)
+        if len(li) == 0:
+            return _EMPTY.copy()
+        # restriction 1: source masks
+        nbits = np.array([bin(int(m)).count("1") for m in masks], dtype=np.int64)
+        ok = ((masks[li] & masks[ri]) == 0) & (nbits[li] + nbits[ri] <= max_sources)
+        li, ri = li[ok], ri[ok]
+        if len(li) == 0:
+            return _EMPTY.copy()
+        lo, hi = np.minimum(li, ri), np.maximum(li, ri)
+        # restriction 2: generalized-type overlap, untyped passes
+        untyped_a = pdf["_untyped"].to_numpy().astype(bool)
+        tg2 = [np.asarray(t, dtype=np.int64) for t in pdf["_tg2"]]
+        g_lens = np.array([len(t) for t in tg2], dtype=np.int64)
+        inter_g = pair_intersection_counts(tg2, g_lens, lo, hi)
+        ok = (inter_g > 0) | untyped_a[li] | untyped_a[ri]
+        li, ri, lo, hi = li[ok], ri[ok], lo[ok], hi[ok]
+        if len(li) == 0:
+            return _EMPTY.copy()
+        # channel 1: label cosine-trigram (6dp HALF_UP, both-empty → 1.0)
+        toks = [np.asarray(t, dtype=np.int64) for t in pdf["_tok"]]
+        lens = np.array([len(t) for t in toks], dtype=np.int64)
+        inter = pair_intersection_counts(toks, lens, lo, hi)
+        na, nb = lens[li], lens[ri]
+        denom = np.sqrt((na * nb).astype(np.float64))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            x = np.where(denom > 0, inter / denom, 0.0)
+        x = np.where((na == 0) & (nb == 0), 1.0, x)
+        sim_label = round_half_up_vec6(x)
+        # channel 2: geo distance (haversine m, 150 km cut, NaN = no vote)
+        lat = pdf["_lat"].to_numpy(dtype=np.float64, na_value=np.nan)
+        lon = pdf["_lon"].to_numpy(dtype=np.float64, na_value=np.nan)
+        la, lb = lat[li], lat[ri]
+        oa, ob = lon[li], lon[ri]
+        valid = (
+            ~np.isnan(la) & ~np.isnan(lb) & ~np.isnan(oa) & ~np.isnan(ob)
+            & (np.abs(la) <= 90) & (np.abs(lb) <= 90)
+            & (np.abs(oa) <= 180) & (np.abs(ob) <= 180)
+        )
+        dlat = np.radians(lb - la)
+        dlon = np.radians(ob - oa)
+        h = np.sin(dlat / 2) ** 2 + np.cos(np.radians(la)) * np.cos(
+            np.radians(lb)
+        ) * np.sin(dlon / 2) ** 2
+        d = 6371.0 * 2 * np.arctan2(np.sqrt(h), np.sqrt(1 - h)) * 1000.0
+        with np.errstate(invalid="ignore"):
+            g = np.where(d >= 150000.0, 0.0, round_half_up_vec6(1.0 - d / 150000.0))
+        sim_geo = np.where(valid, g, np.nan)
+        # channel 3: type sim (direct → 1.0; shaded → SHADING_TYPE_SIM=1.0;
+        # typed non-overlapping → 0.0; untyped → no vote)
+        tc = [np.asarray(t, dtype=np.int64) for t in pdf["_tc"]]
+        c_lens = np.array([len(t) for t in tc], dtype=np.int64)
+        inter_c = pair_intersection_counts(tc, c_lens, lo, hi)
+        typed = ~(untyped_a[li] | untyped_a[ri])
+        sim_type = np.where(typed, (inter_c > 0).astype(np.float64), np.nan)
+        # shaded direction for typed, non-direct pairs only (small residue)
+        residue = np.flatnonzero(typed & (inter_c == 0))
+        if len(residue):
+            ts = [frozenset(np.asarray(t, dtype=np.int64).tolist()) for t in pdf["_ts"]]
+            tcs = [frozenset(t.tolist()) for t in tc]
+            for t in residue:
+                a, b = li[t], ri[t]
+                if (ts[a] & tcs[b]) or (tcs[a] & ts[b]):
+                    sim_type[t] = 1.0
+        # mean over voting channels, 6dp HALF_UP
+        chans = np.stack([sim_label, sim_geo, sim_type])
+        votes = (~np.isnan(chans)).sum(axis=0)
+        with np.errstate(invalid="ignore"):
+            total = np.nansum(chans, axis=0)
+            agg = np.where(votes > 0, total / np.maximum(votes, 1), np.nan)
+        agg = round_half_up_vec6(agg)
+        with np.errstate(invalid="ignore"):
+            keep = ~np.isnan(agg) & (agg >= min_sim)
+        li, ri, agg = li[keep], ri[keep], agg[keep]
+        if len(li) == 0:
+            return _EMPTY.copy()
+        ia, ib = ids[li], ids[ri]
+        return pd.DataFrame(
+            {
+                "src": np.minimum(ia, ib).astype(np.int64),
+                "dst": np.maximum(ia, ib).astype(np.int64),
+                "agg_sim": agg.astype(np.float64),
+            }
+        )
+
+    return grouped.groupBy("_key", "_gi", "_gj").applyInPandas(solve, schema=schema)
+
+
 def _merge_geo_block(pdf: pd.DataFrame, min_sim: float, max_sources: int) -> pd.DataFrame:
     """Local greedy fixpoint for one component group — geo twin of
     clustering.merge_components.solve (DeltaIterateGeographicMergeStep
@@ -236,29 +438,45 @@ def _merge_geo_block(pdf: pd.DataFrame, min_sim: float, max_sources: int) -> pd.
         merged["n_members"] = a["n_members"] + b["n_members"]
         return merged
 
-    heap: dict[tuple[int, int], float] = {}
+    # lazy-deletion priority queue (same pattern as the music merge,
+    # clustering.py solve): entries are (-sim, a, b, ver_a, ver_b); heapq
+    # pops the smallest tuple = highest sim, then min a, then min b — the
+    # identical total order to the previous max((sim, -a, -b)) dict scan,
+    # but O(log n) per op instead of an O(pairs) dict rebuild per merge
+    # (the dominant cost on 512-row components).
+    import heapq
+
+    ver: dict[int, int] = {i: 0 for i in clusters}
+    heap: list = []
+
+    def push(a: int, b: int, s: float) -> None:
+        heapq.heappush(heap, (-s, a, b, ver[a], ver[b]))
+
     ids = sorted(clusters)
     for i, x in enumerate(ids):
         for y in ids[i + 1 :]:
             if valid(clusters[x], clusters[y]):
                 s = sim(clusters[x], clusters[y])
                 if s is not None and s >= min_sim:
-                    heap[(x, y)] = s
+                    push(x, y, s)
     while heap:
-        (x, y), _s = max(heap.items(), key=lambda kv: (kv[1], -kv[0][0], -kv[0][1]))
+        _negs, x, y, vx, vy = heapq.heappop(heap)
+        if ver.get(x) != vx or ver.get(y) != vy:
+            continue
         keep, drop = (x, y) if x < y else (y, x)
         merged = fuse(keep, clusters[x], clusters[y])
         merged["id"] = keep
         clusters[keep] = merged
         del clusters[drop]
-        heap = {p: s for p, s in heap.items() if keep not in p and drop not in p}
+        del ver[drop]
+        ver[keep] += 1
         for other in clusters:
             if other == keep:
                 continue
             if valid(merged, clusters[other]):
                 s = sim(merged, clusters[other])
                 if s is not None and s >= min_sim:
-                    heap[(min(keep, other), max(keep, other))] = s
+                    push(min(keep, other), max(keep, other), s)
     cols = [f.name for f in GEO_STATE_FIELDS]
     out = []
     for cl in clusters.values():
@@ -276,10 +494,12 @@ def run_geo_batch(points: DataFrame, cfg: GeoConfig | None = None) -> DataFrame:
     from .graph import connected_components
 
     cfg = cfg or GeoConfig()
-    state = materialize(
-        prepare_geo(points, cfg).withColumn("trigrams", trigram_set(F.col("label")))
-    )
-    pairs = geo_pair_sims(geo_candidate_pairs(state, cfg), cfg)
+    state = materialize(prepare_geo(points, cfg))
+    # block-LOCAL enumerate-and-score: ids + agg_sim only leave the pair
+    # stage (geo_pair_sims ∘ geo_candidate_pairs is the spec twin, kept for
+    # merge_initialization's small old_hash_cc joins; equivalence pinned by
+    # test_geo_block_scores_match_spec)
+    pairs = geo_block_pair_scores(state, cfg)
     cc = connected_components(
         pairs.select("src", "dst"), vertices=state.select("id"), id_col="id", cc_col="cc"
     )

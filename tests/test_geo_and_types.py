@@ -117,6 +117,52 @@ def test_geo_er_f1(spark):
     assert one is not None
 
 
+def test_geo_block_scores_match_spec(spark):
+    """geo_block_pair_scores (grouped-map 3-channel kernel) must produce
+    the SAME pair set and agg_sim values as the spec path
+    geo_pair_sims(geo_candidate_pairs(...)) — including under salting
+    (max_block_rows small enough to split blocks), untyped records, null
+    labels and null coordinates."""
+    from mapping_analysis_spark.operators.geo import (
+        GeoConfig,
+        geo_block_pair_scores,
+        geo_candidate_pairs,
+        geo_pair_sims,
+        prepare_geo,
+    )
+
+    corpus = _settlement_corpus(spark, n_entities=60, sources=3).drop("gold")
+    # inject edge rows: null label, null coords, untyped, no_type
+    extra = spark.createDataFrame(
+        [
+            (9001, None, 10.0, 10.0, ["Settlement"], "src0"),
+            (9002, None, 10.0, 10.0001, ["Settlement"], "src1"),
+            (9003, "null town", None, None, ["Settlement"], "src0"),
+            (9004, "null town", 10.0, 10.0, [], "src1"),
+            (9005, "null town", 10.0, 10.0, ["no_type"], "src2"),
+            (9006, "null town", 95.0, 10.0, ["BodyOfWater"], "src1"),
+        ],
+        "id long, label string, lat double, lon double,"
+        " types array<string>, source string",
+    )
+    cfg = GeoConfig(min_sim=0.5, max_sources=8, max_block_rows=8)
+    state = prepare_geo(corpus.unionByName(extra), cfg)
+    got = {
+        (r.src, r.dst): r.agg_sim
+        for r in geo_block_pair_scores(state, cfg).collect()
+    }
+    want = {
+        (r.src, r.dst): r.agg_sim
+        for r in geo_pair_sims(geo_candidate_pairs(state, cfg), cfg)
+        .select("src", "dst", "agg_sim")
+        .collect()
+    }
+    assert set(got) == set(want)
+    diffs = {p: (got[p], want[p]) for p in want if got[p] != want[p]}
+    assert not diffs, dict(list(diffs.items())[:5])
+    assert len(got) > 50
+
+
 def test_geo_type_restriction_blocks_mismatch(spark):
     """Same label+coords but disjoint types must NOT merge
     (MergeGeoTripletCreator hasTypeOverlap)."""
