@@ -632,6 +632,7 @@ def idf_support_pairs(
     id_col: str = "id",
     top_tokens: int = 4,
     support: int = 2,
+    max_block_rows: int = 256,
 ) -> DataFrame:
     """Pairs sharing ≥ ``support`` high-IDF (rare) tokens.
 
@@ -641,6 +642,14 @@ def idf_support_pairs(
     connected components over these support edges to form blocks
     (IdfBlockingOperation.java:114-141) — compose with
     ``operators.graph.connected_components`` for that.
+
+    Pair-per-token enumeration goes through ``salted_block_pairs`` keyed
+    on the token: a token that is rare globally (high IDF) but still
+    shared by thousands of records — one viral phrase across a shard —
+    would otherwise put all its n²/2 pairs in ONE join task; salting
+    bounds any task at ~max_block_rows² work while producing the exact
+    same (token, pair) set (triangle enumeration), so the support counts
+    and the final pair set are unchanged.
     """
     words = df.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), r"\s+")).alias("word")
@@ -659,12 +668,12 @@ def idf_support_pairs(
         .filter(F.col("_rn") <= top_tokens)
         .select(id_col, "word")
     )
-    l, r = top.alias("l"), top.alias("r")
-    pairs = l.join(
-        r,
-        (F.col("l.word") == F.col("r.word"))
-        & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-    ).select(F.col(f"l.{id_col}").alias("src"), F.col(f"r.{id_col}").alias("dst"))
+    pairs = salted_block_pairs(
+        top.select(F.col(id_col).alias("_sbid"), "word"),
+        key_col="word",
+        id_col="_sbid",
+        max_block_rows=max_block_rows,
+    ).select("src", "dst")
     return (
         pairs.groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("support"))

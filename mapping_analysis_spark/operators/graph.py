@@ -118,7 +118,26 @@ def connected_components(
         local_edges_threshold = int(
             os.environ.get("SPARK_GRAFT_CC_LOCAL_EDGES", "4000000")
         )
-    if local_edges_threshold and sym.count() // 2 <= local_edges_threshold:
+    # Driver-memory envelope for the local path: the toPandas() pull is two
+    # int64 columns over the SYMMETRIZED list (2 edges/undirected edge) plus
+    # the union-find dict ≈ 32 B + ~16 B per directed row → ~48 B per
+    # undirected edge of steady-state driver heap (Arrow transfer peaks at
+    # ~2× that). The default 4M-edge threshold is therefore ~200 MB on the
+    # driver — tune SPARK_GRAFT_CC_LOCAL_EDGES to driver_mem_bytes/48 when
+    # changing it blind, or set it to 0 to force the distributed loop.
+    n_undirected = sym.count() // 2
+    if local_edges_threshold and n_undirected <= local_edges_threshold:
+        if n_undirected > 1_000_000:
+            import warnings
+
+            warnings.warn(
+                f"connected_components: local union-find over {n_undirected} "
+                f"edges pulls ~{n_undirected * 48 // 1_000_000} MB onto the "
+                "driver (≈48 B/edge); lower SPARK_GRAFT_CC_LOCAL_EDGES if "
+                "the driver is small",
+                ResourceWarning,
+                stacklevel=2,
+            )
         labels = _local_union_find(sym, id_col, cc_col)
         if vertices is not None:
             all_v = vertices.select(id_col)

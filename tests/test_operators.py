@@ -170,6 +170,35 @@ def test_idf_support_pairs(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
+def test_idf_support_pairs_hot_token_salted(spark):
+    """A token that is rare globally but shared by MANY records (viral
+    phrase) previously formed one quadratic join task. The salted path must
+    produce the identical support-pair set whether or not the hot token's
+    block is split (max_block_rows tiny vs effectively-unsplit)."""
+    from mapping_analysis_spark.operators.blocking import idf_support_pairs
+
+    # 60 records sharing the hot pair of tokens; 60 singles with unique
+    # tokens (raising n_docs so the shared tokens still rank as top-idf)
+    rows = [(i, f"hotA{i % 2} hotB{i % 2} filler text") for i in range(60)]
+    rows += [(100 + i, f"uniq{i}a uniq{i}b filler text") for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, transcript_norm string")
+    split = {
+        (r.src, r.dst)
+        for r in idf_support_pairs(
+            df, top_tokens=2, support=2, max_block_rows=4
+        ).collect()
+    }
+    unsplit = {
+        (r.src, r.dst)
+        for r in idf_support_pairs(
+            df, top_tokens=2, support=2, max_block_rows=10**9
+        ).collect()
+    }
+    assert split == unsplit
+    # 30+30 records share (hotA0,hotB0)/(hotA1,hotB1) → 2 * C(30,2) pairs
+    assert len(split) == 2 * 30 * 29 // 2
+
+
 # ---------------------------------------------------------------------------
 # preprocessing
 # ---------------------------------------------------------------------------
