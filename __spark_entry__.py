@@ -49,7 +49,15 @@ def entry(spark: SparkSession) -> DataFrame:
         F.col("text").alias("transcript"),
         F.col("source"),
     )
-    cfg = PipelineConfig(min_sim=0.5, use_audio=False, max_sources=32)
+    # documents use srcN source names — map them to bits explicitly (the
+    # default SOURCE_BITS covers the clips corpus's numeric sources only)
+    bits = {
+        r[0]: 1 << i
+        for i, r in enumerate(sorted(clips.select("source").distinct().collect()))
+    }
+    cfg = PipelineConfig(
+        min_sim=0.5, use_audio=False, max_sources=32, source_bits=bits
+    )
     res = run_batch(clips, cfg)
     return res["clusters"].select(
         "cluster_id", "members", "sources", "sources_mask", "n_members", "transcript"
@@ -589,12 +597,42 @@ def q_geo_er(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geo ER end-to-end (label ct + haversine geo sim + type sim with
     shadings, type-overlap restriction, priority coord fusion — the
     reference's settlement pipeline, MergeGeoTripletCreator.java:55-115 +
-    DualMergeGeographyMapper.java:41-90). Rows-only: iterative merge."""
+    DualMergeGeographyMapper.java:41-90), exported as per-point invariant
+    rows (see q_er_documents) so the iterative merge output is
+    oracle-checkable: exactly-one membership, source bit set in the fused
+    mask, popcount == member count."""
     from mapping_analysis_spark.operators.geo import GeoConfig, run_geo_batch
 
     points = geo_points_from_docs(spark, sf_dir).drop("gold_entity")
     clusters = run_geo_batch(points, GeoConfig(min_sim=0.7, max_sources=8))
-    return clusters.select("id", "n_members", "sources_mask", "label")
+    per_member = clusters.select(
+        F.explode("members").alias("id"), "sources_mask", "n_members"
+    )
+    # per-point invariant rows (same pattern as er_documents): every input
+    # point in exactly one cluster; no-source-overlap merges make the fused
+    # mask's popcount equal the member count; every member's source bit is
+    # set in the fused mask (prepare_geo assigns bits by sorted distinct
+    # source — replayed here)
+    srcs = sorted(
+        r[0] for r in points.select("source").distinct().collect()
+    )
+    bit = None
+    for i, s in enumerate(srcs):
+        b = F.when(F.col("source") == s, F.lit(1 << i))
+        bit = b if bit is None else bit.when(F.col("source") == s, F.lit(1 << i))
+    joined = per_member.join(
+        points.select("id", bit.otherwise(F.lit(0)).cast("long").alias("_bit")),
+        "id",
+    )
+    return joined.groupBy("id").agg(
+        F.count(F.lit(1)).alias("membership_count"),
+        F.min(
+            F.col("sources_mask").bitwiseAND(F.col("_bit")) == F.col("_bit")
+        ).alias("source_ok"),
+        F.min(F.bit_count(F.col("sources_mask")) == F.col("n_members")).alias(
+            "popcount_ok"
+        ),
+    )
 
 
 def q_nc_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -780,8 +818,25 @@ def q_cep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_er_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flagship iterative max-both ER clustering on documents (rows-only:
-    iterative algorithm, not single-query SQL)."""
+    """Flagship iterative max-both ER clustering on documents, exported as
+    its PER-DOCUMENT INVARIANT ROW so the iterative output becomes
+    oracle-checkable (the full cluster table itself is not single-query
+    SQL; it stays exercised by entry(), the F1 pytest and QUALITY.md).
+
+    One row per input document with the structural invariants the
+    reference asserts on its clustering output
+    (IncrementalMusicClusteringTest.java:496-497 no-duplicate-membership):
+
+    * membership_count — documents appear in EXACTLY one cluster's members
+      (no orphan, no duplicate) → 1 for every doc_id;
+    * source_ok — the member's source is listed in its cluster's fused
+      sources → true;
+    * popcount_ok — merge restriction forbids source overlap, so the fused
+      mask's popcount equals both the member count and the sources list
+      length → true.
+
+    The DuckDB oracle enumerates the expected constants per document, so
+    rows + schema + value-hash all gate the pipeline output."""
     from mapping_analysis_spark.pipeline import PipelineConfig, run_batch
 
     docs = _t(spark, sf_dir, "documents")
@@ -790,8 +845,46 @@ def q_er_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").alias("transcript"),
         F.col("source"),
     )
-    res = run_batch(clips, PipelineConfig(min_sim=0.5, use_audio=False, max_sources=32))
-    return res["clusters"].select("cluster_id", "n_members", "sources_mask")
+    # source bits by sorted distinct source (the documents table uses
+    # srcN names, not the clips corpus's numeric sources — the default
+    # SOURCE_BITS would map every record to bit 0 and silently void the
+    # no-source-overlap merge restriction; this invariant query is what
+    # caught that)
+    bits = {
+        r[0]: 1 << i
+        for i, r in enumerate(
+            sorted(clips.select("source").distinct().collect())
+        )
+    }
+    res = run_batch(
+        clips,
+        PipelineConfig(
+            min_sim=0.5, use_audio=False, max_sources=32, source_bits=bits
+        ),
+    )
+    per_member = res["clusters"].select(
+        F.explode("members").alias("member_id"),
+        "sources",
+        "sources_mask",
+        "n_members",
+    )
+    joined = per_member.join(
+        docs.select(F.col("doc_id").cast("string").alias("member_id"), "source"),
+        "member_id",
+    )
+    return (
+        joined.groupBy(F.col("member_id").cast("long").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).alias("membership_count"),
+            F.min(
+                F.array_contains(F.col("sources"), F.col("source"))
+            ).alias("source_ok"),
+            F.min(
+                (F.bit_count(F.col("sources_mask")) == F.col("n_members"))
+                & (F.size("sources") == F.col("n_members"))
+            ).alias("popcount_ok"),
+        )
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1501,6 +1594,22 @@ def oracle_sql() -> dict[str, str]:
                  range(0, 64), i -> (doc_id + fi * 13 + i * 7) % 256))::BIGINT
                  as frame_sum
         from f
+    """
+
+    # Invariant oracles for the two iterative pipelines: the cluster tables
+    # themselves are not single-query SQL, but their structural invariants
+    # are exact per-input-row constants (see q_er_documents docstring), so
+    # rows + schema + value-hash still gate the full pipeline execution.
+    sqls["er_documents"] = """
+        select doc_id, 1::BIGINT as membership_count,
+               true as source_ok, true as popcount_ok
+        from documents
+    """
+
+    sqls["geo_er"] = """
+        select doc_id as id, 1::BIGINT as membership_count,
+               true as source_ok, true as popcount_ok
+        from documents
     """
 
     return sqls
