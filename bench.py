@@ -63,6 +63,7 @@ def main() -> None:
     # -- operator queries over the sf tables -------------------------------
     bench_queries = [
         "trigram_cosine_pairs",
+        "word_jaccard_pairs",
         "minhash_lsh_pairs",
         "simhash_pairs",
         "embedding_near_dup",
