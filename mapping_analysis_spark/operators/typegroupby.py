@@ -168,3 +168,54 @@ def data_corruption_add_edges(
         .filter(F.col("_next").isNotNull())
         .select(F.col(id_col).alias("src"), F.col("_next").alias("dst"))
     )
+
+
+def data_corruption_remove_edges_indexed(
+    edges: DataFrame, every_nth: int = 10, order_cols: tuple = ("src", "dst")
+) -> DataFrame:
+    """EXACT reference stream semantics
+    (corruption/EdgeRemoveCorruptionFunction.java:15-32): keep
+    ``every_nth`` elements, drop the next, reset — i.e. drop stream
+    positions ≡ every_nth (mod every_nth+1). The reference resets per
+    Flink PARTITION (its committed 8,526 count on the 9,375-edge
+    MusicBrainz fixture bakes in the local test partitioning); here the
+    stream is ONE deterministic global order, so the count is the closed
+    form n − ⌊n/(every_nth+1)⌋ — partition-independent and exactly
+    reproducible, at most a few edges off the reference's
+    partition-boundary artifact. The hash variant
+    (``data_corruption_remove_edges``) keeps the same rate without a
+    global sort; use this one for exact-count parity tests only (the
+    global row_number is a single-task window)."""
+    w = Window.orderBy(*[F.col(c) for c in order_cols])
+    return (
+        edges.withColumn("_i", F.row_number().over(w) - 1)
+        .filter(F.pmod(F.col("_i"), every_nth + 1) != every_nth)
+        .drop("_i")
+    )
+
+
+def data_corruption_add_edges_indexed(
+    vertices: DataFrame, every_nth: int = 10, id_col: str = "id"
+) -> DataFrame:
+    """EXACT reference stream semantics
+    (corruption/EdgeCreateCorruptionFunction.java:20-35): remember the
+    first element of each (every_nth+1)-window, emit (first, last) when
+    the window closes — one fabricated edge per full window, count
+    ⌊n/(every_nth+1)⌋ over a deterministic global order (the reference's
+    1,758 on 19,375 MusicBrainz vertices is the same formula per Flink
+    partition)."""
+    w = Window.orderBy(id_col)
+    cyc = every_nth + 1
+    idx = F.row_number().over(w) - 1
+    tagged = vertices.select(
+        F.col(id_col),
+        (idx / cyc).cast("long").alias("_cycle"),
+        F.pmod(idx, cyc).alias("_pos"),
+    )
+    firsts = tagged.filter(F.col("_pos") == 0).select(
+        "_cycle", F.col(id_col).alias("src")
+    )
+    lasts = tagged.filter(F.col("_pos") == every_nth).select(
+        "_cycle", F.col(id_col).alias("dst")
+    )
+    return firsts.join(lasts, "_cycle").select("src", "dst")

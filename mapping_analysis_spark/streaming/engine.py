@@ -45,7 +45,6 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 import time
 from dataclasses import dataclass, field
 
@@ -74,30 +73,50 @@ class StreamingERConfig:
 
     @property
     def state_dir(self) -> str:
-        return os.path.join(self.work_dir, "state")
+        return _urljoin(self.work_dir, "state")
 
     @property
     def output_dir(self) -> str:
-        return os.path.join(self.work_dir, "output")
+        return _urljoin(self.work_dir, "output")
 
     @property
     def lineage_dir(self) -> str:
-        return os.path.join(self.work_dir, "lineage")
+        return _urljoin(self.work_dir, "lineage")
 
     @property
     def checkpoint_dir(self) -> str:
-        return os.path.join(self.work_dir, "checkpoint")
+        return _urljoin(self.work_dir, "checkpoint")
+
+
+def _urljoin(base: str, *parts: str) -> str:
+    """Path join that is also URI-correct for hdfs://... work dirs."""
+    if "://" in base:
+        out = base.rstrip("/")
+        for p in parts:
+            out = f"{out}/{p.strip('/')}"
+        return out
+    return os.path.join(base, *parts)
 
 
 class StreamingERJob:
-    """Micro-batch incremental clustering over a clips file stream."""
+    """Micro-batch incremental clustering over a clips file stream.
+
+    All state-store metadata IO (listing committed versions, commit
+    markers, watermark/band-format blobs, retiring history) goes through
+    the ``fs.StateFS`` seam — ``work_dir`` may be a plain path (POSIX
+    impl) or an ``hdfs://``/``s3a://`` URI (Hadoop FileSystem via the
+    session JVM); Spark's own parquet reads/writes are URI-native either
+    way."""
 
     def __init__(self, spark: SparkSession, cfg: StreamingERConfig):
+        from .fs import state_fs_for
+
         self.spark = spark
         self.cfg = cfg
-        os.makedirs(cfg.state_dir, exist_ok=True)
-        os.makedirs(cfg.output_dir, exist_ok=True)
-        os.makedirs(cfg.lineage_dir, exist_ok=True)
+        self.fs = state_fs_for(cfg.work_dir, spark)
+        self.fs.makedirs(cfg.state_dir)
+        self.fs.makedirs(cfg.output_dir)
+        self.fs.makedirs(cfg.lineage_dir)
 
     # -- state store (log-structured: deltas + periodic compaction) --------
 
@@ -106,9 +125,9 @@ class StreamingERJob:
         'delta'}, ascending by batch. A compaction batch leaves only its
         ``v=`` dir (its scratch delta is removed at commit)."""
         out = []
-        for d in os.listdir(self.cfg.state_dir):
-            if (d.startswith("v=") or d.startswith("d=")) and os.path.exists(
-                os.path.join(self.cfg.state_dir, d, "_COMMITTED")
+        for d in self.fs.listdir(self.cfg.state_dir):
+            if (d.startswith("v=") or d.startswith("d=")) and self.fs.exists(
+                self.fs.join(self.cfg.state_dir, d, "_COMMITTED")
             ):
                 out.append((int(d[2:]), "full" if d.startswith("v=") else "delta"))
         return sorted(out)
@@ -118,12 +137,11 @@ class StreamingERJob:
 
     def _marker_total(self, batch_id: int, kind: str) -> int | None:
         prefix = "v" if kind == "full" else "d"
-        path = os.path.join(
+        path = self.fs.join(
             self.cfg.state_dir, f"{prefix}={batch_id}", "_COMMITTED"
         )
         try:
-            with open(path) as f:
-                return int(json.load(f)["n_clusters_total"])
+            return int(json.loads(self.fs.read_text(path))["n_clusters_total"])
         except (OSError, ValueError, KeyError, TypeError):
             return None
 
@@ -143,14 +161,14 @@ class StreamingERJob:
             )
         base = max(fulls)
         state = self.spark.read.parquet(
-            os.path.join(self.cfg.state_dir, f"v={base}")
+            self.fs.join(self.cfg.state_dir, f"v={base}")
         )
         for b, kind in entries:
             if kind != "delta" or b <= base:
                 continue
-            droot = os.path.join(self.cfg.state_dir, f"d={b}")
-            tomb = self.spark.read.parquet(os.path.join(droot, "removed"))
-            rows = self.spark.read.parquet(os.path.join(droot, "rows"))
+            droot = self.fs.join(self.cfg.state_dir, f"d={b}")
+            tomb = self.spark.read.parquet(self.fs.join(droot, "removed"))
+            rows = self.spark.read.parquet(self.fs.join(droot, "rows"))
             state = state.join(tomb, "id", "left_anti").unionByName(rows)
         return state
 
@@ -163,17 +181,15 @@ class StreamingERJob:
         counts, compaction) never re-execute it."""
         from ..util import materialize
 
-        droot = os.path.join(self.cfg.state_dir, f"d={batch_id}")
-        if os.path.exists(droot):
-            shutil.rmtree(droot)  # replay: half-written delta is discarded
-        removed = materialize(tombstone_ids, path=os.path.join(droot, "removed"))
-        return materialize(rows, path=os.path.join(droot, "rows")), removed
+        droot = self.fs.join(self.cfg.state_dir, f"d={batch_id}")
+        self.fs.rmtree(droot)  # replay: half-written delta is discarded
+        removed = materialize(tombstone_ids, path=self.fs.join(droot, "removed"))
+        return materialize(rows, path=self.fs.join(droot, "rows")), removed
 
     def _write_full(self, state: DataFrame, batch_id: int) -> None:
         """Compaction: write the fully reconstructed state (uncommitted)."""
-        path = os.path.join(self.cfg.state_dir, f"v={batch_id}")
-        if os.path.exists(path):
-            shutil.rmtree(path)
+        path = self.fs.join(self.cfg.state_dir, f"v={batch_id}")
+        self.fs.rmtree(path)
         state.write.mode("overwrite").parquet(path)
 
     def _commit_state(
@@ -183,22 +199,17 @@ class StreamingERJob:
             {"batch_id": batch_id, "n_clusters_total": n_clusters_total}
         )
         if compacted:
-            with open(
-                os.path.join(self.cfg.state_dir, f"v={batch_id}", "_COMMITTED"),
-                "w",
-            ) as f:
-                f.write(marker)
-            # the scratch delta is folded into the snapshot
-            shutil.rmtree(
-                os.path.join(self.cfg.state_dir, f"d={batch_id}"),
-                ignore_errors=True,
+            self.fs.write_text(
+                self.fs.join(self.cfg.state_dir, f"v={batch_id}", "_COMMITTED"),
+                marker,
             )
+            # the scratch delta is folded into the snapshot
+            self.fs.rmtree(self.fs.join(self.cfg.state_dir, f"d={batch_id}"))
         else:
-            with open(
-                os.path.join(self.cfg.state_dir, f"d={batch_id}", "_COMMITTED"),
-                "w",
-            ) as f:
-                f.write(marker)
+            self.fs.write_text(
+                self.fs.join(self.cfg.state_dir, f"d={batch_id}", "_COMMITTED"),
+                marker,
+            )
         # retire superseded history: keep the last two snapshots plus every
         # delta at/after the older of them (enough to replay the last batch
         # and debug one compaction generation back)
@@ -209,9 +220,8 @@ class StreamingERJob:
             for b, kind in entries:
                 if b < keep_from:
                     prefix = "v" if kind == "full" else "d"
-                    shutil.rmtree(
-                        os.path.join(self.cfg.state_dir, f"{prefix}={b}"),
-                        ignore_errors=True,
+                    self.fs.rmtree(
+                        self.fs.join(self.cfg.state_dir, f"{prefix}={b}")
                     )
 
     @staticmethod
@@ -237,34 +247,34 @@ class StreamingERJob:
     # compaction is forced so the rebuilt keys persist.
 
     def _band_format_path(self) -> str:
-        return os.path.join(self.cfg.state_dir, "_band_format.json")
+        return self.fs.join(self.cfg.state_dir, "_band_format.json")
 
     def _stored_band_format(self) -> str | None:
         try:
-            with open(self._band_format_path()) as f:
-                return json.load(f)["format"]
+            return json.loads(self.fs.read_text(self._band_format_path()))[
+                "format"
+            ]
         except (OSError, ValueError, KeyError):
             return None
 
     def _save_band_format(self) -> None:
         from ..operators.blocking import BAND_KEY_FORMAT
 
-        with open(self._band_format_path(), "w") as f:
-            json.dump({"format": BAND_KEY_FORMAT}, f)
+        self.fs.write_text(
+            self._band_format_path(), json.dumps({"format": BAND_KEY_FORMAT})
+        )
 
     # -- watermark bookkeeping --------------------------------------------
 
     def _max_event_time(self) -> float | None:
-        path = os.path.join(self.cfg.state_dir, "_watermark.json")
-        if not os.path.exists(path):
+        path = self.fs.join(self.cfg.state_dir, "_watermark.json")
+        if not self.fs.exists(path):
             return None
-        with open(path) as f:
-            return json.load(f)["max_event_time"]
+        return json.loads(self.fs.read_text(path))["max_event_time"]
 
     def _save_max_event_time(self, value: float) -> None:
-        path = os.path.join(self.cfg.state_dir, "_watermark.json")
-        with open(path, "w") as f:
-            json.dump({"max_event_time": value}, f)
+        path = self.fs.join(self.cfg.state_dir, "_watermark.json")
+        self.fs.write_text(path, json.dumps({"max_event_time": value}))
 
     # -- the micro-batch ---------------------------------------------------
 
@@ -436,9 +446,8 @@ class StreamingERJob:
         clusters = new_rows.drop("band_keys")
 
         # ---- exactly-once sink: overwrite THIS batch's partition only
-        out_path = os.path.join(cfg.output_dir, f"batch_id={batch_id}")
-        if os.path.exists(out_path):
-            shutil.rmtree(out_path)
+        out_path = self.fs.join(cfg.output_dir, f"batch_id={batch_id}")
+        self.fs.rmtree(out_path)
         # the partition directory supplies batch_id on read (basePath)
         clusters.write.mode("overwrite").parquet(out_path)
         _phase("output-write")
@@ -448,9 +457,8 @@ class StreamingERJob:
         self._save_band_format()
         if new_max is not None:
             self._save_max_event_time(new_max)
-        lineage_path = os.path.join(cfg.lineage_dir, f"batch_id={batch_id}")
-        if os.path.exists(lineage_path):
-            shutil.rmtree(lineage_path)
+        lineage_path = self.fs.join(cfg.lineage_dir, f"batch_id={batch_id}")
+        self.fs.rmtree(lineage_path)
         part_counts = (
             prepared.groupBy(F.spark_partition_id().alias("partition"))
             .agg(F.count(F.lit(1)).alias("rows"))
@@ -470,10 +478,23 @@ class StreamingERJob:
         from ..schema import CLIPS_SCHEMA
         from .metrics import ProgressLogListener
 
-        # engine-level rate/duration log, one JSON line per micro-batch
-        self._listener = ProgressLogListener(
-            os.path.join(self.cfg.work_dir, "progress.jsonl")
-        )
+        # engine-level rate/duration log, one JSON line per micro-batch.
+        # The listener appends line-by-line — a driver-LOCAL file by design
+        # (it is diagnostics, not state); with a remote work_dir it lands
+        # under the driver's tmp instead.
+        if "://" in self.cfg.work_dir:
+            import hashlib
+            import tempfile
+
+            log_path = os.path.join(
+                tempfile.gettempdir(),
+                "spark_graft_progress_"
+                + hashlib.md5(self.cfg.work_dir.encode()).hexdigest()[:8]
+                + ".jsonl",
+            )
+        else:
+            log_path = os.path.join(self.cfg.work_dir, "progress.jsonl")
+        self._listener = ProgressLogListener(log_path)
         self.spark.streams.addListener(self._listener)
         stream = (
             self.spark.readStream.schema(CLIPS_SCHEMA)

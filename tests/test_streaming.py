@@ -457,3 +457,60 @@ def test_band_key_index_rebuild_on_format_change(spark, corpus, tmp_path):
     flat = [m for r in state.select("members").collect() for m in r.members]
     total = spark.read.parquet(source_dir).count()
     assert len(flat) == len(set(flat)) == total
+
+
+def test_state_fs_contract(spark, tmp_path):
+    """Both StateFS implementations must satisfy the same contract the
+    commit protocol relies on — LocalStateFS (POSIX) and HadoopStateFS
+    driven against a file:// URI through the session JVM (the identical
+    code path a cluster resolves for hdfs:// and s3a://)."""
+    from mapping_analysis_spark.streaming.fs import (
+        HadoopStateFS,
+        LocalStateFS,
+        state_fs_for,
+    )
+
+    local_root = str(tmp_path / "local")
+    hd_root = "file://" + str(tmp_path / "hadoop")
+    for fs, root in (
+        (state_fs_for(local_root), local_root),
+        (state_fs_for(hd_root, spark), hd_root),
+    ):
+        d = fs.join(root, "state", "d=3")
+        assert not fs.exists(d)
+        assert fs.listdir(fs.join(root, "state")) == []
+        fs.makedirs(d)
+        assert fs.exists(d)
+        marker = fs.join(d, "_COMMITTED")
+        fs.write_text(marker, '{"batch_id": 3}')
+        assert fs.read_text(marker) == '{"batch_id": 3}'
+        fs.write_text(marker, '{"batch_id": 4}')  # overwrite
+        assert fs.read_text(marker) == '{"batch_id": 4}'
+        fs.makedirs(fs.join(root, "state", "v=5"))
+        assert sorted(fs.listdir(fs.join(root, "state"))) == ["d=3", "v=5"]
+        fs.rmtree(fs.join(root, "state", "d=3"))
+        assert not fs.exists(d)
+        fs.rmtree(fs.join(root, "state", "d=3"))  # idempotent
+        assert fs.listdir(fs.join(root, "state")) == ["v=5"]
+    # scheme routing
+    assert isinstance(state_fs_for(local_root), LocalStateFS)
+    assert isinstance(state_fs_for(hd_root, spark), HadoopStateFS)
+
+
+def test_streaming_job_runs_through_hadoop_fs(spark, corpus, tmp_path):
+    """The whole exactly-once protocol must work when work_dir is a URI
+    resolved through HadoopStateFS (file:// here; hdfs:// or s3a:// on a
+    cluster) — final clusters identical to the POSIX-path run."""
+    from mapping_analysis_spark.streaming.fs import HadoopStateFS
+
+    source_dir, _df = corpus
+    job_posix = _run_job(spark, source_dir, str(tmp_path / "wp"), max_files=2)
+    job_uri = _run_job(
+        spark, source_dir, "file://" + str(tmp_path / "wu"), max_files=2
+    )
+    assert isinstance(job_uri.fs, HadoopStateFS)
+    a = job_posix.final_state().select("id", "members")
+    b = job_uri.final_state().select("id", "members")
+    ka = {(r.id, tuple(r.members)) for r in a.collect()}
+    kb = {(r.id, tuple(r.members)) for r in b.collect()}
+    assert ka == kb and len(ka) > 0
