@@ -49,7 +49,7 @@ def _nc_voter_corpus(spark, n_entities: int, seed: int):
             if s == 1 and len(nm) > 3:
                 nm = nm[:-1]  # char drop
             elif s == 2 and len(sn) > 3:
-                sn = sn[1] + sn[0] + sn[2:]  # adjacent swap
+                sn = sn[:-2] + sn[-1] + sn[-2]  # tail adjacent swap
             elif s == 3:
                 no = "".join(digit_to_char.get(c, c) for c in no[:3]) + no[3:]
             elif s == 4:
@@ -101,8 +101,15 @@ def nc_section(spark, n_entities: int = 1500, seed: int = 42) -> list[str]:
             )
         )
         arr_rec = prep(arrivals)
+        # use_lsh=False: the reference's incremental NC protocol runs the
+        # Hungarian per BLOCKING KEY, where every record lives in exactly
+        # one block — that is what makes per-block optimal assignment also
+        # globally ≤1-per-id (the invariant asserted below). The LSH
+        # complement pairs records ACROSS blocks (an arrival could then be
+        # matched in two blocks' matrices); it belongs to the candidate-
+        # generation strategies, tested in tests/test_nc.py.
         matches = nc_hungarian_matches(
-            state_rec, arr_rec, min_sim=0.7, use_lsh=True, seed=seed
+            state_rec, arr_rec, min_sim=0.7, use_lsh=False, seed=seed
         ).select(F.col("src").alias("cluster_id"), F.col("dst").alias("new_id"))
         grown = (
             clusters.join(matches, "cluster_id", "left")
