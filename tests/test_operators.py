@@ -474,6 +474,37 @@ def test_simhash_identical_and_different(spark):
     assert d > 8
 
 
+def test_simhash64_fast_matches_spec(spark):
+    """Arrow-vectorized simhash64_fast must be BIT-IDENTICAL to the
+    composed-Column simhash64 on real corpus text (same md5 60-bit token
+    hash, same majority vote incl. repeated tokens, same ASCII-\\s
+    tokenization)."""
+    from mapping_analysis_spark.operators.dedup import simhash64, simhash64_fast
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").limit(200)
+    rows = docs.select(
+        "doc_id",
+        simhash64_fast(F.col("text")).alias("fast"),
+        simhash64(F.col("text")).alias("spec"),
+    ).collect()
+    assert len(rows) == 200
+    for r in rows:
+        assert r.fast == r.spec, r.doc_id
+    # repeated tokens and single token
+    edge = spark.createDataFrame(
+        [(1, "alpha alpha alpha beta"), (2, "word")], "id long, text string"
+    )
+    got = {
+        r.id: (r.fast, r.spec)
+        for r in edge.select(
+            "id",
+            simhash64_fast(F.col("text")).alias("fast"),
+            simhash64(F.col("text")).alias("spec"),
+        ).collect()
+    }
+    assert all(f == s for f, s in got.values())
+
+
 def test_simhash_candidates_low_entropy_corpus(spark):
     """Degenerate corpus that previously went quadratic in ONE task: many
     documents drawn from 3 templates (few distinct fingerprints → hot chunk
