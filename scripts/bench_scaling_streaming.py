@@ -98,9 +98,21 @@ def run_level(cpus: int, zip_path: str) -> dict:
     scratch = _isolate_shared_disk(cpus, env)
     if not os.environ.get("SCALING_SHARED_DISK"):
         work = os.path.join(scratch, "work")
+    # Pin the whole spark-submit process tree to exactly `cpus` host cores
+    # with single-threaded BLAS — same honesty argument as
+    # bench_scaling.py: unpinned, the "4-core" level's python workers +
+    # JVM GC threads use 10+ host cores; a real N-executor cluster IS
+    # capped at N cores. Disable with SCALING_NO_PIN=1.
+    env.update(
+        OPENBLAS_NUM_THREADS="1", OMP_NUM_THREADS="1", MKL_NUM_THREADS="1"
+    )
+    pin = (
+        [] if os.environ.get("SCALING_NO_PIN") else ["taskset", "-c", f"0-{cpus - 1}"]
+    )
     t0 = time.time()
     proc = subprocess.run(
-        [
+        pin
+        + [
             "spark-submit",
             "--master", f"local[{cpus}]",
             "--driver-memory", os.environ.get("SPARK_DRIVER_MEMORY", "64g"),
