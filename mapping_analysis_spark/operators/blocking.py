@@ -485,7 +485,13 @@ def salted_block_pair_scores(
             }
         )
 
-    return grouped.groupBy("_key", "_gi", "_gj").applyInPandas(solve, schema=schema)
+    from ..util import parallel_grouped
+
+    return (
+        parallel_grouped(grouped, "_key", "_gi", "_gj")
+        .groupBy("_key", "_gi", "_gj")
+        .applyInPandas(solve, schema=schema)
+    )
 
 
 # Opaque band-key string format produced by minhash_band_keys. Band keys are

@@ -574,8 +574,12 @@ def merge_components(clusters: DataFrame, cfg: ClusterRoundConfig) -> DataFrame:
         )
 
     keep_cols = [f.name for f in fields]
-    return clusters.select(*keep_cols).groupBy("blocking_key").applyInPandas(
-        solve, schema=schema
+    from ..util import parallel_grouped
+
+    return (
+        parallel_grouped(clusters.select(*keep_cols), "blocking_key")
+        .groupBy("blocking_key")
+        .applyInPandas(solve, schema=schema)
     )
 
 

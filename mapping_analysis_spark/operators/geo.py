@@ -362,7 +362,13 @@ def geo_block_pair_scores(state: DataFrame, cfg: GeoConfig) -> DataFrame:
             }
         )
 
-    return grouped.groupBy("_key", "_gi", "_gj").applyInPandas(solve, schema=schema)
+    from ..util import parallel_grouped
+
+    return (
+        parallel_grouped(grouped, "_key", "_gi", "_gj")
+        .groupBy("_key", "_gi", "_gj")
+        .applyInPandas(solve, schema=schema)
+    )
 
 
 def _merge_geo_block(pdf: pd.DataFrame, min_sim: float, max_sources: int) -> pd.DataFrame:
@@ -523,8 +529,12 @@ def run_geo_batch(points: DataFrame, cfg: GeoConfig | None = None) -> DataFrame:
     def solve(pdf: pd.DataFrame) -> pd.DataFrame:
         return _merge_geo_block(pdf, cfg.min_sim, cfg.max_sources)
 
-    merged = grouped.select(*cols, "_grp").groupBy("_grp").applyInPandas(
-        solve, schema=schema
+    from ..util import parallel_grouped
+
+    merged = (
+        parallel_grouped(grouped.select(*cols, "_grp"), "_grp")
+        .groupBy("_grp")
+        .applyInPandas(solve, schema=schema)
     )
     return merged.withColumn(
         "blocking_key", geo_blocking_label(F.col("label"), cfg.blocking_length)
@@ -585,8 +595,10 @@ def merge_initialization(
     def solve(pdf: pd.DataFrame) -> pd.DataFrame:
         return _merge_geo_block(pdf, 0.0, max_sources)
 
+    from ..util import parallel_grouped
+
     new_reps = (
-        group.select(*cols_out, "old_hash_cc")
+        parallel_grouped(group.select(*cols_out, "old_hash_cc"), "old_hash_cc")
         .groupBy("old_hash_cc")
         .applyInPandas(lambda pdf: solve(pdf.drop(columns=["old_hash_cc"])), schema=schema)
         .withColumn("old_hash_cc", F.lit(None).cast("long"))

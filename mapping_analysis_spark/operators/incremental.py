@@ -275,4 +275,10 @@ def hungarian_selection(
     def solve(pdf: pd.DataFrame) -> pd.DataFrame:
         return hungarian_match_block(pdf, min_sim)
 
-    return prepared.groupBy(block_col).applyInPandas(solve, schema=schema)
+    from ..util import parallel_grouped
+
+    return (
+        parallel_grouped(prepared, block_col)
+        .groupBy(block_col)
+        .applyInPandas(solve, schema=schema)
+    )

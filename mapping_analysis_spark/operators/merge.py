@@ -156,8 +156,10 @@ def merge_execution(
     def solve(pdf: pd.DataFrame) -> pd.DataFrame:
         return greedy_merge_block(pdf, threshold, max_sources, sim_fn)
 
+    from ..util import parallel_grouped
+
     return (
-        representatives.select(*cols)
+        parallel_grouped(representatives.select(*cols), block_col)
         .groupBy(block_col)
         .applyInPandas(solve, schema=MERGE_RESULT_SCHEMA)
     )

@@ -89,7 +89,13 @@ def simsort(
     def solve(pdf: pd.DataFrame) -> pd.DataFrame:
         return simsort_block(pdf, min_sim)
 
-    return prepared.groupBy("hash_cc").applyInPandas(solve, schema=SIMSORT_SCHEMA)
+    from ..util import parallel_grouped
+
+    return (
+        parallel_grouped(prepared, "hash_cc")
+        .groupBy("hash_cc")
+        .applyInPandas(solve, schema=SIMSORT_SCHEMA)
+    )
 
 
 def vertex_agg_sim(edges: DataFrame, sim_col: str = "agg_sim") -> DataFrame:

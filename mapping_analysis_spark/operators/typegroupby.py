@@ -137,8 +137,10 @@ def hash_cc_by_type_overlap(
                 out.append({"id": ids[i], "hash_cc": h})
         return pd.DataFrame(out, columns=["id", "hash_cc"])
 
+    from ..util import parallel_grouped
+
     return (
-        vertices.select(id_col, cc_col, types_col)
+        parallel_grouped(vertices.select(id_col, cc_col, types_col), cc_col)
         .groupBy(cc_col)
         .applyInPandas(solve, schema=schema)
     )

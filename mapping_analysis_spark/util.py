@@ -63,3 +63,32 @@ def loop_paths(n: int = 2, tag: str = "loop") -> list[str]:
     iteration's data remains readable)."""
     base = os.path.join(_base_dir(), f"{tag}_{uuid.uuid4().hex[:8]}")
     return [f"{base}_{i}" for i in range(n)]
+
+
+def parallel_grouped(df: DataFrame, *keys: str) -> DataFrame:
+    """Hash-repartition by ``keys`` with an EXPLICIT partition count, for use
+    immediately before a grouped-map (``groupBy(keys).applyInPandas``) stage.
+
+    AQE's partition coalescing sizes post-shuffle partitions by BYTES; a
+    grouped-map stage's cost is Python CPU per group, which that heuristic
+    cannot see. Measured on the streaming micro-batch profile: the
+    per-component merge's shuffle (a few MB of narrow state) was coalesced to
+    ONE post-shuffle partition, so the whole merge ran as a single ~10 s task
+    at every parallelism level — the dominant term of the per-batch serial
+    floor. An explicit ``repartition(n, keys)`` plants a REPARTITION_BY_NUM
+    shuffle, which AQE is not allowed to coalesce, and its
+    ``HashPartitioning(keys, n)`` output satisfies the grouped-map's
+    ClusteredDistribution requirement, so the planner inserts no second
+    exchange — same shuffle count, restored parallelism.
+
+    ``n`` follows ``spark.sql.shuffle.partitions`` (the jobs set it to
+    4× cores, AQE-coalescible elsewhere), floored at the session's default
+    parallelism so a test session with few shuffle partitions still fans a
+    CPU-bound Python stage across all cores.
+    """
+    spark = df.sparkSession
+    n = max(
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+        spark.sparkContext.defaultParallelism,
+    )
+    return df.repartition(n, *keys)
