@@ -204,8 +204,21 @@ def _round_pairs(
         print(f"[rounds] score-pairs-narrow: {time.time() - _t:.1f}s", flush=True)
     _t = time.time()
     if use_audio:
-        cand = narrow.filter(
-            F.col("sim_text").isNull() | (F.col("sim_text") >= text_bound)
+        # The materialized narrow parquet reads back at #files-way
+        # parallelism (the pre-write exchange AQE-coalesces by BYTES to a
+        # few small files), which pinned the audio-scoring stage below to
+        # ~5 tasks at ANY core count — 80 core-s of join+score work wall-
+        # bounded by 2-wave imbalance at 4 cores and 11 idle slots at 16.
+        # An explicit REPARTITION_BY_NUM of the narrow (src, dst, sim_text)
+        # rows (~20 B/row) costs a trivial shuffle and restores full
+        # fan-out for the fingerprint joins + scoring chain.
+        from ..util import parallel_grouped
+
+        cand = parallel_grouped(
+            narrow.filter(
+                F.col("sim_text").isNull() | (F.col("sim_text") >= text_bound)
+            ),
+            "src",
         )
         # fingerprint norms hoisted out of the pair loop: computed once per
         # RECORD here, so the per-pair expression is a single dot product —
@@ -221,6 +234,13 @@ def _round_pairs(
                 )
             ).alias("_fpn"),
         )
+        # The zip_with/aggregate fold is interpreted (no codegen), but an
+        # A/B at 3M pairs showed the stage is DOMINATED by the two hash-
+        # join probes materializing the per-pair float arrays, not the
+        # fold: an unrolled 13-term GetArrayItem chain measured ~20% slower
+        # and an Arrow pandas kernel ~75% slower (per-pair array shipping).
+        # The scaling fix for this stage is the fan-out repartition above,
+        # not the dot-product form.
         dot = F.aggregate(
             F.zip_with(
                 F.col("_sfp"), F.col("_dfp"), lambda a, b: (a * b).cast("double")

@@ -919,3 +919,4 @@ def test_vectorized_band_keys_empty_tokens(spark):
     }
     assert got[1] == [] and got[2] == []
     assert len(got[3]) == 4
+
