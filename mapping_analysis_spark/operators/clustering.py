@@ -387,7 +387,20 @@ def candidate_components(state: DataFrame, cfg: ClusterRoundConfig) -> DataFrame
             rows_per_band=cfg.lsh_rows_per_band,
             seed=cfg.lsh_seed,
         )
+    import os
+    import time
+
+    _dbg = os.environ.get("SPARK_GRAFT_DEBUG_BATCH")
+    _t = time.time()
     pairs = _round_pairs(state, cfg, extra_pair_ids=extra)
+    if _dbg:
+        # attribution barrier only (debug runs): split the audio-scoring /
+        # payload-join cost of _round_pairs from the link filter + CC below
+        from ..util import materialize
+
+        pairs = materialize(pairs)
+        print(f"[rounds]   pairs-scored: {time.time() - _t:.1f}s", flush=True)
+        _t = time.time()
     if cfg.use_link_filter:
         # BasicLinkFilter (BasicLinkFilterFunction.java:46-79): an edge
         # survives only if it is the max-sim link of its src towards dst's
@@ -405,12 +418,20 @@ def candidate_components(state: DataFrame, cfg: ClusterRoundConfig) -> DataFrame
         )
     from .graph import connected_components
 
-    return connected_components(
+    if _dbg:
+        pairs = materialize(pairs.select("src", "dst"))
+        print(f"[rounds]   link-filter: {time.time() - _t:.1f}s", flush=True)
+        _t = time.time()
+    out = connected_components(
         pairs.select("src", "dst"),
         vertices=state.select("id"),
         id_col="id",
         cc_col="cc",
     )
+    if _dbg:
+        out = materialize(out)
+        print(f"[rounds]   cc: {time.time() - _t:.1f}s", flush=True)
+    return out
 
 
 def merge_components(clusters: DataFrame, cfg: ClusterRoundConfig) -> DataFrame:

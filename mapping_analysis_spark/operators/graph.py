@@ -16,11 +16,15 @@ SIMPLE modes).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _local_union_find(sym: DataFrame, id_col: str, cc_col: str) -> DataFrame:
+def _local_union_find(
+    sym: DataFrame, id_col: str, cc_col: str, parquet_path: str | None = None
+) -> DataFrame:
     """Driver-side exact min-id union-find over a (small) symmetric edge
     list — the adaptive fast path of ``connected_components``.
 
@@ -30,12 +34,32 @@ def _local_union_find(sym: DataFrame, id_col: str, cc_col: str) -> DataFrame:
     rounds — measured 21 rounds × ~1.3 s on a 145k-edge batch graph —
     with one Arrow collect + a sub-second union-find + one broadcast-sized
     createDataFrame. Labels are identical to the loop's fixpoint (min id
-    per component), so the choice of path never changes results."""
+    per component), so the choice of path never changes results.
+
+    ``parquet_path``: when the caller just materialized ``sym`` to local
+    parquet, the edge pull reads those files directly via pyarrow instead
+    of running a Spark collect job — one fewer action on the per-batch
+    serial path (remote/URI paths fall back to the Spark pull)."""
     import pandas as pd
 
-    pdf = (
-        sym.filter(F.col("a") < F.col("b")).toPandas()
-    )  # one direction suffices for connectivity
+    pdf = None
+    if parquet_path is not None and "://" not in parquet_path:
+        try:
+            import glob as _glob
+
+            import pyarrow.parquet as _pq
+
+            files = _glob.glob(os.path.join(parquet_path, "*.parquet"))
+            if files:
+                tbl = _pq.ParquetDataset(files).read(columns=["a", "b"])
+                pdf = tbl.to_pandas()
+                pdf = pdf[pdf["a"] < pdf["b"]]
+        except (OSError, ImportError, KeyError):
+            pdf = None
+    if pdf is None:
+        pdf = (
+            sym.filter(F.col("a") < F.col("b")).toPandas()
+        )  # one direction suffices for connectivity
     parent: dict = {}
 
     def find(x):
@@ -103,17 +127,17 @@ def connected_components(
     # (possibly expensive) upstream pair plan twice, and the iteration must
     # never re-execute it. Parquet round-trips, not localCheckpoint — see
     # util.materialize for why (repeated checkpoints stop truncating).
+    sym_path = loop_paths(1, "cc_sym")[0]
     sym = materialize(
         edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
         .unionByName(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
-        .dropDuplicates(["a", "b"])
+        .dropDuplicates(["a", "b"]),
+        path=sym_path,
     )
     # adaptive path selection (mirrors the broadcast-join threshold): the
     # count is a parquet-metadata read of the just-materialized sym table,
     # so the decision costs no extra scan. The threshold is in UNDIRECTED
     # edges; env-overridable for clusters with bigger/smaller drivers.
-    import os
-
     if local_edges_threshold is None:
         local_edges_threshold = int(
             os.environ.get("SPARK_GRAFT_CC_LOCAL_EDGES", "4000000")
@@ -125,7 +149,22 @@ def connected_components(
     # ~2× that). The default 4M-edge threshold is therefore ~200 MB on the
     # driver — tune SPARK_GRAFT_CC_LOCAL_EDGES to driver_mem_bytes/48 when
     # changing it blind, or set it to 0 to force the distributed loop.
-    n_undirected = sym.count() // 2
+    n_sym = None
+    if "://" not in sym_path:
+        try:
+            import glob as _glob
+
+            import pyarrow.parquet as _pq
+
+            n_sym = sum(
+                _pq.ParquetFile(f).metadata.num_rows
+                for f in _glob.glob(os.path.join(sym_path, "*.parquet"))
+            )
+        except (OSError, ImportError):
+            n_sym = None
+    if n_sym is None:
+        n_sym = sym.count()
+    n_undirected = n_sym // 2
     if local_edges_threshold and n_undirected <= local_edges_threshold:
         if n_undirected > 1_000_000:
             import warnings
@@ -138,7 +177,7 @@ def connected_components(
                 ResourceWarning,
                 stacklevel=2,
             )
-        labels = _local_union_find(sym, id_col, cc_col)
+        labels = _local_union_find(sym, id_col, cc_col, parquet_path=sym_path)
         if vertices is not None:
             all_v = vertices.select(id_col)
             labels = all_v.join(labels, id_col, "left").select(
@@ -175,7 +214,6 @@ def connected_components(
 
     from pyspark.sql import Observation
 
-    import os
     import time
 
     spark = edges.sparkSession

@@ -34,12 +34,21 @@ SEED = 42
 CORPUS = f"/tmp/spark_graft_scaling_{N_CLUSTERS}_{SEED}"
 
 
-def ensure_corpus() -> None:
+def ensure_corpus(in_subprocess: bool = False) -> None:
+    if os.path.exists(os.path.join(CORPUS, "_SUCCESS")):
+        return
+    if not in_subprocess:
+        # generate in a SUBPROCESS: spark.stop() shuts the context down but
+        # the gateway JVM lives until its python parent exits — measured
+        # still burning ~3.6 cores during the first pinned level run,
+        # contaminating the measurement. A subprocess takes the JVM with it.
+        subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--datagen"], check=True
+        )
+        return
     from mapping_analysis_spark.datagen.clips import write_clips_parquet
     from mapping_analysis_spark.session import get_spark
 
-    if os.path.exists(os.path.join(CORPUS, "_SUCCESS")):
-        return
     spark = get_spark("scaling-datagen", cpus=os.cpu_count() or 8)
     # fine-grained output files: scan tasks pack evenly at BOTH parallelism
     # levels (32 coarse files made the 32-core scan straggle on its slowest
@@ -137,6 +146,9 @@ def _ceiling_probe(procs: int) -> float:
 
 
 def main() -> None:
+    if "--datagen" in sys.argv:
+        ensure_corpus(in_subprocess=True)
+        return
     if "--run" in sys.argv:
         cpus = int(sys.argv[sys.argv.index("--run") + 1])
         ensure_corpus()

@@ -40,15 +40,20 @@ LEVELS = (
 
 
 def ensure_corpus() -> None:
-    from mapping_analysis_spark.datagen.clips import write_clips_parquet
-    from mapping_analysis_spark.session import get_spark
-
     if os.path.exists(os.path.join(CORPUS, "_SUCCESS")):
         return
-    spark = get_spark("stream-scaling-datagen", cpus=os.cpu_count() or 8)
-    parts = max(128, (N_CLUSTERS * 7 // 2) // 1000)
-    write_clips_parquet(spark, CORPUS, N_CLUSTERS, seed=SEED, partitions=parts)
-    spark.stop()
+    # subprocess so the datagen gateway JVM dies before any pinned level
+    # run (see bench_scaling.ensure_corpus)
+    code = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "from mapping_analysis_spark.datagen.clips import write_clips_parquet\n"
+        "from mapping_analysis_spark.session import get_spark\n"
+        "import os\n"
+        "spark = get_spark('stream-scaling-datagen', cpus=os.cpu_count() or 8)\n"
+        "write_clips_parquet(spark, %r, %d, seed=%d, partitions=%d)\n"
+        "spark.stop()\n"
+    ) % (REPO, CORPUS, N_CLUSTERS, SEED, max(128, (N_CLUSTERS * 7 // 2) // 1000))
+    subprocess.run([sys.executable, "-c", code], check=True)
 
 
 def ensure_pyfiles() -> str:
