@@ -567,7 +567,15 @@ def embedding_near_dup_pairs(
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
     keys = hyperplane_band_buckets(F.col("_v"), dim, tables, n_planes, seed)
-    banded = base.select("_id", F.explode(keys).alias("_bk"))
+    # materialize the banded (id, band) relation ONCE: the self-join below
+    # references it on both sides, and the hyperplane key expression is a
+    # dim×planes×tables plan-literal HOF chain (interpreted, no codegen) —
+    # without the cut each side re-evaluates every dot product (measured
+    # ~2× the whole query's compute at sf0.1; at 100 TB the banded relation
+    # is the thing to shuffle, never the re-derivation)
+    from ..util import materialize
+
+    banded = materialize(base.select("_id", F.explode(keys).alias("_bk")))
     l, r = banded.alias("l"), banded.alias("r")
     cand = (
         l.join(
