@@ -36,8 +36,14 @@ for _v in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
 # SPARK_GRAFT_BENCH_DISK=1 (or preset SPARK_GRAFT_TMP).
 _SCRATCH = None
 if not os.environ.get("SPARK_GRAFT_BENCH_DISK") and os.path.isdir("/dev/shm"):
-    _SCRATCH = "/dev/shm/spark_graft_bench_scratch"
-    os.makedirs(_SCRATCH, exist_ok=True)
+    import tempfile
+
+    # per-process unique (mkdtemp): two concurrent bench invocations must
+    # not share a scratch dir — the first to exit would rmtree the other's
+    # live spark.local.dir/materialize files mid-run
+    _SCRATCH = tempfile.mkdtemp(
+        prefix="spark_graft_bench_scratch_", dir="/dev/shm"
+    )
     os.environ.setdefault("SPARK_GRAFT_TMP", os.path.join(_SCRATCH, "mat"))
     os.environ.setdefault("SPARK_LOCAL_DIRS", os.path.join(_SCRATCH, "local"))
     import atexit

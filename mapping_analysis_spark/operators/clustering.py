@@ -420,7 +420,8 @@ def candidate_components(state: DataFrame, cfg: ClusterRoundConfig) -> DataFrame
 
     if _dbg:
         pairs = materialize(pairs.select("src", "dst"))
-        print(f"[rounds]   link-filter: {time.time() - _t:.1f}s", flush=True)
+        _seg = "link-filter" if cfg.use_link_filter else "pairs-project"
+        print(f"[rounds]   {_seg}: {time.time() - _t:.1f}s", flush=True)
         _t = time.time()
     out = connected_components(
         pairs.select("src", "dst"),

@@ -54,8 +54,8 @@ def _local_union_find(
                 tbl = _pq.ParquetDataset(files).read(columns=["a", "b"])
                 pdf = tbl.to_pandas()
                 pdf = pdf[pdf["a"] < pdf["b"]]
-        except (OSError, ImportError, KeyError):
-            pdf = None
+        except Exception:  # any pyarrow failure (ArrowInvalid is a
+            pdf = None     # ValueError) degrades to the Spark pull
     if pdf is None:
         pdf = (
             sym.filter(F.col("a") < F.col("b")).toPandas()
@@ -156,11 +156,16 @@ def connected_components(
 
             import pyarrow.parquet as _pq
 
-            n_sym = sum(
-                _pq.ParquetFile(f).metadata.num_rows
-                for f in _glob.glob(os.path.join(sym_path, "*.parquet"))
-            )
-        except (OSError, ImportError):
+            _files = _glob.glob(os.path.join(sym_path, "*.parquet"))
+            # an empty glob (e.g. a schemeless shared-FS default FS where
+            # the materialize path is not on the driver's local disk) must
+            # NOT read as n_sym=0 — that would always select the
+            # driver-local path and defeat the memory safeguard
+            if _files:
+                n_sym = sum(
+                    _pq.ParquetFile(f).metadata.num_rows for f in _files
+                )
+        except Exception:
             n_sym = None
     if n_sym is None:
         n_sym = sym.count()
