@@ -148,12 +148,16 @@ def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling-window content fingerprint (rows-only: xxhash64 has no
-    DuckDB equivalent)."""
-    from mapping_analysis_spark.operators.textstats import doc_fingerprint
+    """Rolling-window content fingerprint (winnowing-style min over all
+    8-gram hashes of the normalized text). The entry uses the md5-derived
+    variant whose gram hash has an exact DuckDB twin, making the full
+    min-over-windows computation value-checkable; production paths keep
+    the cheaper xxhash64 ``doc_fingerprint`` (same plan shape, pinned
+    equivalent by tests/test_operators.py)."""
+    from mapping_analysis_spark.operators.textstats import doc_fingerprint_md5
 
     docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", doc_fingerprint(F.col("text")).alias("fp"))
+    return docs.select("doc_id", doc_fingerprint_md5(F.col("text")).alias("fp"))
 
 
 def q_word_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -887,6 +891,206 @@ def q_er_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_jaro_winkler_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaro-Winkler similarity (Utils.java:864-867, simmetrics defaults:
+    boost threshold 0.7, prefix scale 0.1, max prefix 4) on salted
+    prefix-blocked document pairs — Arrow pandas UDF. DuckDB's
+    ``jaro_winkler_similarity`` implements the identical convention
+    (verified on the classic Winkler test vectors incl. martha/marhta
+    0.961111 and dixon/dicksonx 0.813333), so the oracle is an exact
+    value check at 6dp."""
+    from mapping_analysis_spark.functions.similarity import jaro_winkler
+    from mapping_analysis_spark.operators.blocking import salted_block_pairs
+    from mapping_analysis_spark.operators.dedup import normalize_text
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        F.col("doc_id").alias("_id"),
+        F.substring(normalize_text(F.col("text")), 1, 8).alias("_k"),
+        F.substring(normalize_text(F.col("text")), 1, 64).alias("_s"),
+    )
+    pairs = salted_block_pairs(
+        base.select("_id", "_k"), key_col="_k", id_col="_id", max_block_rows=256
+    ).select("src", "dst")
+    s = base.select("_id", "_s")
+    return (
+        pairs.join(s.select(F.col("_id").alias("src"), F.col("_s").alias("_sl")), "src")
+        .join(s.select(F.col("_id").alias("dst"), F.col("_s").alias("_sr")), "dst")
+        .select(
+            "src",
+            "dst",
+            jaro_winkler(F.col("_sl"), F.col("_sr")).alias("jw_sim"),
+        )
+        .filter(F.col("jw_sim") >= 0.5)
+    )
+
+
+def _simsort_graph(spark: SparkSession, sf_dir: str):
+    """Deterministic SimSort test graph from the documents table: cliques
+    of ≤6 docs grouped by floor(doc_id/6), edge sim a closed-form 2dp
+    value in [0.40, 0.99] — both Spark and the DuckDB oracle can enumerate
+    the identical graph, so component structure is exactly replayable."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    v = docs.select(
+        F.col("doc_id").alias("id"), F.floor(F.col("doc_id") / 6).alias("g")
+    )
+    cc = v.groupBy("g").agg(F.min("id").alias("hash_cc"), F.count("*").alias("_n"))
+    v = v.join(cc, "g").filter(F.col("_n") >= 2)
+    edges = (
+        v.alias("a")
+        .join(v.alias("b"), (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("src"),
+            F.col("b.id").alias("dst"),
+            F.round(
+                0.40
+                + ((F.col("a.id") * 7 + F.col("b.id") * 13) % 60).cast("double")
+                / 100.0,
+                2,
+            ).alias("agg_sim"),
+            F.col("a.hash_cc").alias("hash_cc"),
+        )
+    )
+    return edges
+
+
+_SIMSORT_MIN_SIM = 0.701  # unattainable as an exact clique mean of 2dp sims
+                          # (n·70.1 is never integral for n ≤ 5), so the
+                          # threshold compare can never straddle float noise
+
+
+def q_simsort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimSort eviction fixpoint (SimSortVertexCentricIteration.java:33-39,
+    SimSortComputeFunction.java:26-109) on the deterministic clique graph,
+    exported as PER-VERTEX INVARIANT ROWS (the er_documents pattern — the
+    sequential eviction order is not single-query SQL, its defining
+    properties are):
+
+    * old_hash_cc — exact value (the vertex's input component = min doc_id
+      of its clique), replayed closed-form by DuckDB;
+    * membership_count — every input vertex appears exactly once → 1;
+    * label_ok — kept vertices keep their component id, evicted vertices
+      get the injective fresh id -(id+1) → true;
+    * fixpoint_ok — INDEPENDENT distributed recheck of the fixpoint
+      property: every kept vertex's mean sim over surviving (kept-kept)
+      edges is ≥ min_sim, or its component kept only one vertex → true.
+    """
+    from mapping_analysis_spark.operators.simsort import simsort
+
+    edges = _simsort_graph(spark, sf_dir)
+    out = simsort(edges, _SIMSORT_MIN_SIM)  # (id, hash_cc, old_hash_cc)
+    kept = out.filter(F.col("hash_cc") >= 0).select("id", F.col("hash_cc").alias("_cc"))
+    n_kept = kept.groupBy("_cc").agg(F.count("*").alias("_n_kept"))
+    surv = (
+        edges.join(kept.select(F.col("id").alias("src")), "src", "left_semi")
+        .join(kept.select(F.col("id").alias("dst")), "dst", "left_semi")
+    )
+    incident = (
+        surv.select(F.col("src").alias("id"), "agg_sim")
+        .unionByName(surv.select(F.col("dst").alias("id"), "agg_sim"))
+        .groupBy("id")
+        .agg(F.avg("agg_sim").alias("_mean"))
+    )
+    kept_check = (
+        kept.join(n_kept, "_cc")
+        .join(incident, "id", "left")
+        .select(
+            "id",
+            (
+                (F.col("_n_kept") == 1)
+                | (F.col("_mean").isNotNull() & (F.col("_mean") >= _SIMSORT_MIN_SIM))
+            ).alias("_fix_ok"),
+        )
+    )
+    return (
+        out.join(kept_check, "id", "left")
+        .groupBy("id")
+        .agg(
+            F.min("old_hash_cc").alias("old_hash_cc"),
+            F.count(F.lit(1)).alias("membership_count"),
+            F.min(
+                (F.col("hash_cc") == F.col("old_hash_cc"))
+                | (F.col("hash_cc") == -(F.col("id") + 1))
+            ).alias("label_ok"),
+            F.min(F.coalesce(F.col("_fix_ok"), F.lit(True))).alias("fixpoint_ok"),
+        )
+    )
+
+
+def q_typegroupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TypeGroupBy (decomposition/typegroupby/TypeGroupBy.java:39-121):
+    untyped vertices adopt the hash_cc of their max-similarity typed
+    neighbor (ties → min hash_cc), untyped groups fall back to the
+    component's min cc_id. The operator is a closed-form window argmax, so
+    the DuckDB oracle replays it EXACTLY on the deterministic path graph:
+    docs grouped into chains of 5 (consecutive-by-rank edges), typed iff
+    doc_id % 3 == 2, sims the same 2dp closed form as q_simsort."""
+    from mapping_analysis_spark.operators.typegroupby import type_group_by
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    w = Window.partitionBy("g").orderBy("id")
+    v = (
+        docs.select(
+            F.col("doc_id").alias("id"), F.floor(F.col("doc_id") / 5).alias("g")
+        )
+        .withColumn("_rk", F.row_number().over(w))
+        .withColumn("cc_id", F.min("id").over(Window.partitionBy("g")))
+        .withColumn(
+            "type",
+            F.when(
+                F.col("id") % 3 == 2,
+                F.when(F.col("id") % 6 == 2, F.lit("song")).otherwise(F.lit("album")),
+            ).otherwise(F.lit("no_type")),
+        )
+        .withColumn("hash_cc", F.col("id") + 10000)
+    )
+    edges = (
+        v.alias("a")
+        .join(
+            v.alias("b"),
+            (F.col("a.g") == F.col("b.g")) & (F.col("b._rk") == F.col("a._rk") + 1),
+        )
+        .select(
+            F.col("a.id").alias("src"),
+            F.col("b.id").alias("dst"),
+            F.round(
+                0.40
+                + ((F.col("a.id") * 7 + F.col("b.id") * 13) % 60).cast("double")
+                / 100.0,
+                2,
+            ).alias("agg_sim"),
+        )
+    )
+    out = type_group_by(v.select("id", "type", "cc_id", "hash_cc"), edges)
+    return out.select("id", "type", "cc_id", "hash_cc")
+
+
+def q_idf_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDF_BLOCKING end-to-end (IdfBlockingOperation.java:53-141 +
+    MergeExecution.java:239-269): per-doc top-4 high-IDF tokens → pairs
+    sharing ≥ 2 of them (salted triangle enumeration, capped buckets) →
+    connected components over the support graph → block id = component
+    min id, docs without any support pair falling back to their own
+    singleton block. The DuckDB oracle replays every stage exactly — the
+    idf ranking closed-form, the support join, and the component labels
+    via a recursive transitive-closure CTE (the support graph at oracle
+    scale is tiny; Spark runs the O(log n) distributed CC)."""
+    from mapping_analysis_spark.operators.blocking import idf_support_pairs
+    from mapping_analysis_spark.operators.graph import connected_components
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), F.lower(F.col("text")).alias("txt")
+    )
+    pairs = idf_support_pairs(docs, text_col="txt", id_col="id")
+    cc = connected_components(pairs.select("src", "dst"))
+    return (
+        docs.join(cc.withColumnRenamed("cc_id", "_cc"), "id", "left")
+        .select(
+            "id", F.coalesce(F.col("_cc"), F.col("id")).alias("block_id")
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "blocking_keys": q_blocking_keys,
@@ -926,6 +1130,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_meta": q_image_meta,
         "video_frames": q_video_frames,
         "levenshtein_pairs": q_levenshtein_pairs,
+        "jaro_winkler_pairs": q_jaro_winkler_pairs,
+        "simsort": q_simsort,
+        "typegroupby": q_typegroupby,
+        "idf_blocking": q_idf_blocking,
         "soundex_keys": q_soundex_keys,
         "cep_funnel": q_cep_funnel,
     }
@@ -1610,6 +1818,126 @@ def oracle_sql() -> dict[str, str]:
         select doc_id as id, 1::BIGINT as membership_count,
                true as source_ok, true as popcount_ok
         from documents
+    """
+
+    sqls["doc_fingerprint"] = f"""
+        with d as (select doc_id, {_NORM} as s from documents),
+        g as (select doc_id, s,
+                     unnest(range(1, greatest(length(s) - 6, 2))) as i
+              from d where coalesce(length(s), 0) > 0)
+        select doc_id,
+               min(('0x' || substr(md5(substr(s, i::INTEGER, 8)), 1, 15))::BIGINT)
+                 as fp
+        from g group by doc_id
+        union all
+        select doc_id, NULL::BIGINT as fp
+        from d where coalesce(length(s), 0) = 0
+    """
+
+    sqls["jaro_winkler_pairs"] = f"""
+        with d as (
+          select doc_id, substring({_NORM}, 1, 8) as k,
+                 substring({_NORM}, 1, 64) as s
+          from documents)
+        select src, dst, jw_sim from (
+          select a.doc_id as src, b.doc_id as dst,
+                 round(jaro_winkler_similarity(a.s, b.s), 6) as jw_sim
+          from d a join d b on a.k = b.k and a.doc_id < b.doc_id)
+        where jw_sim >= 0.5
+    """
+
+    # SimSort invariant oracle (see q_simsort): old_hash_cc is an exact
+    # closed-form replay; the eviction-order-dependent parts are pinned by
+    # the always-true invariant booleans the Spark side verifies
+    # distributedly on its own output.
+    sqls["simsort"] = """
+        with v0 as (
+          select doc_id as id, cast(floor(doc_id / 6) as BIGINT) as g
+          from documents),
+        cc as (select g, min(id) as hash_cc, count(*) as n from v0 group by g)
+        select v0.id as id, cc.hash_cc as old_hash_cc,
+               1::BIGINT as membership_count,
+               true as label_ok, true as fixpoint_ok
+        from v0 join cc using (g) where cc.n >= 2
+    """
+
+    # TypeGroupBy is a closed-form window argmax — full exact replay.
+    sqls["typegroupby"] = """
+        with v as (
+          select doc_id as id, cast(floor(doc_id / 5) as BIGINT) as g
+          from documents),
+        v2 as (
+          select id, g,
+                 row_number() over (partition by g order by id) as rk,
+                 min(id) over (partition by g) as cc_id,
+                 case when id % 3 = 2
+                      then (case when id % 6 = 2 then 'song' else 'album' end)
+                      else 'no_type' end as type,
+                 id + 10000 as hash_cc
+          from v),
+        e as (
+          select a.id as src, b.id as dst,
+                 round(0.40 + ((a.id * 7 + b.id * 13) % 60) / 100.0, 2)
+                   as agg_sim
+          from v2 a join v2 b on a.g = b.g and b.rk = a.rk + 1),
+        nbrs as (
+          select src as v, dst as n, agg_sim from e
+          union all
+          select dst as v, src as n, agg_sim from e),
+        ninfo as (
+          select nbrs.v, nbrs.agg_sim, t.hash_cc as n_hash_cc
+          from nbrs join v2 t on nbrs.n = t.id
+          where t.type <> 'no_type'),
+        best as (
+          select v, n_hash_cc from (
+            select v, n_hash_cc,
+                   row_number() over (
+                     partition by v order by agg_sim desc, n_hash_cc asc) as rn
+            from ninfo) where rn = 1)
+        select v2.id as id, v2.type as type, v2.cc_id as cc_id,
+               case when v2.type <> 'no_type' then v2.hash_cc
+                    else coalesce(best.n_hash_cc, v2.cc_id) end as hash_cc
+        from v2 left join best on v2.id = best.v
+    """
+
+    # IDF blocking end-to-end: idf ranking + support join are closed-form;
+    # component labels replayed with a recursive transitive-closure CTE
+    # (support graphs at oracle scale are tiny).
+    sqls["idf_blocking"] = r"""
+        with recursive docs2 as (
+          select doc_id as id, lower(text) as txt from documents),
+        words as (
+          select id,
+                 unnest(list_filter(string_split_regex(txt, '\s+'),
+                                    w -> length(w) > 1)) as word
+          from docs2),
+        df as (select word, count(distinct id) as dfc from words group by word),
+        n as (select count(*) as nd from documents),
+        widf as (
+          select words.id, words.word, log10(n.nd::DOUBLE / df.dfc) as idf
+          from words join df using (word) cross join n),
+        top as (
+          select id, word from (
+            select id, word,
+                   row_number() over (
+                     partition by id order by idf desc, word asc) as rn
+            from widf) where rn <= 4),
+        p as (
+          select a.id as src, b.id as dst
+          from top a join top b on a.word = b.word and a.id < b.id
+          group by a.id, b.id having count(*) >= 2),
+        sym as (
+          select src as a, dst as b from p
+          union select dst as a, src as b from p
+          union select src as a, src as b from p
+          union select dst as a, dst as b from p),
+        reach(id, r) as (
+          select a, b from sym
+          union
+          select s.a, reach.r from sym s join reach on s.b = reach.id),
+        lbl as (select id, min(r) as cc from reach group by id)
+        select d.id as id, coalesce(lbl.cc, d.id) as block_id
+        from docs2 d left join lbl on d.id = lbl.id
     """
 
     return sqls

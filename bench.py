@@ -135,6 +135,9 @@ def main() -> None:
         "tumbling_window",
         "pricing_summary",
         "levenshtein_pairs",
+        "jaro_winkler_pairs",
+        "idf_blocking",
+        "simsort",
         "cep_funnel",
         "soundex_keys",
     ]

@@ -344,7 +344,11 @@ def _jaro(s1: str, s2: str) -> float:
             if s1[i] != s2[j]:
                 transpositions += 1
             j += 1
-    t = transpositions / 2
+    # simmetrics (the reference's metric provider, Utils.java:864-867)
+    # counts half-transpositions and INTEGER-divides — Jaro.java's
+    # `final int transpositions = halfTranspositions / 2`. DuckDB's
+    # jaro_winkler_similarity floors identically, so the oracle is exact.
+    t = transpositions // 2
     m = matches
     return (m / len1 + m / len2 + (m - t) / m) / 3
 

@@ -135,3 +135,23 @@ def doc_fingerprint(col: Column, window: int = 8) -> Column:
     )
     grams = F.transform(idx, lambda i: F.xxhash64(F.substring(norm, i, window)))
     return F.when(F.size(grams) > 0, F.array_min(grams))
+
+
+def doc_fingerprint_md5(col: Column, window: int = 8) -> Column:
+    """Same winnowing-style min-window fingerprint as ``doc_fingerprint``
+    but with a 60-bit md5-derived gram hash instead of xxhash64 — md5 has
+    an exact DuckDB twin (``('0x' || substr(md5(g), 1, 15))::BIGINT``), so
+    this variant is fully oracle-checkable; production paths keep the
+    cheaper xxhash64."""
+    norm = F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+    n = F.length(norm)
+    idx = F.when(n >= window, F.sequence(F.lit(1), n - (window - 1))).otherwise(
+        F.when(n > 0, F.array(F.lit(1))).otherwise(F.array().cast("array<int>"))
+    )
+    grams = F.transform(
+        idx,
+        lambda i: F.conv(
+            F.substring(F.md5(F.substring(norm, i, window)), 1, 15), 16, 10
+        ).cast("long"),
+    )
+    return F.when(F.size(grams) > 0, F.array_min(grams))

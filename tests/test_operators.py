@@ -920,3 +920,74 @@ def test_vectorized_band_keys_empty_tokens(spark):
     assert got[1] == [] and got[2] == []
     assert len(got[3]) == 4
 
+
+
+# ---------------------------------------------------------------------------
+# md5 fingerprint variant + floored Jaro transpositions (round 4)
+# ---------------------------------------------------------------------------
+
+
+def test_doc_fingerprint_md5_mirrors_xxhash_variant(spark):
+    """The oracle-checkable md5 variant must have the same winnowing
+    semantics as the production xxhash64 fingerprint: identical null
+    pattern, identical invariance under whitespace renormalization, and
+    identical equal/unequal structure across documents (both are min over
+    the same window set, only the gram hash differs)."""
+    from pyspark.sql import functions as F
+
+    from mapping_analysis_spark.operators.textstats import (
+        doc_fingerprint,
+        doc_fingerprint_md5,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "hello  world this is a doc"),
+            (2, "hello world this is a doc"),   # same after normalization
+            (3, "a completely different text"),
+            (4, "short"),                        # < window chars
+            (5, ""),                             # empty → null fp
+            (6, None),                           # null → null fp
+        ],
+        "id long, text string",
+    )
+    rows = {
+        r.id: (r.fx, r.fm)
+        for r in df.select(
+            "id",
+            doc_fingerprint(F.col("text")).alias("fx"),
+            doc_fingerprint_md5(F.col("text")).alias("fm"),
+        ).collect()
+    }
+    for fp_idx in (0, 1):
+        assert rows[1][fp_idx] == rows[2][fp_idx]      # whitespace-invariant
+        assert rows[1][fp_idx] != rows[3][fp_idx]      # distinct content
+        assert rows[4][fp_idx] is not None             # short still hashes
+        assert rows[5][fp_idx] is None
+        assert rows[6][fp_idx] is None
+    # 60-bit md5 values are non-negative by construction
+    assert rows[1][1] >= 0 and rows[3][1] >= 0
+
+
+def test_jaro_transpositions_floor_matches_simmetrics():
+    """simmetrics Jaro.java integer-divides half-transpositions; an odd
+    half-transposition count must floor (m=43/t=14 cases in the corpus
+    showed the /2.0 variant diverging from both simmetrics and DuckDB)."""
+    from mapping_analysis_spark.functions.similarity import _jaro, jaro_winkler_py
+
+    # classic vectors (even half-transposition counts — unchanged)
+    assert abs(jaro_winkler_py("martha", "marhta") - 0.961111) < 1e-5
+    assert abs(jaro_winkler_py("dixon", "dicksonx") - 0.813333) < 1e-5
+    # odd half-transposition count: abcdef vs bacdfe has matches=6 and
+    # half-transpositions computed over the flag traversal; pin against
+    # the closed form with floored t
+    s1, s2 = "filter agg row join", "filter agg join row"
+    m_t = _jaro(s1, s2)
+    # brute-force the (m, t) decomposition with INTEGER t only
+    l1 = l2 = len(s1)
+    found = any(
+        abs((m / l1 + m / l2 + (m - t) / m) / 3 - m_t) < 1e-12
+        for m in range(1, l1 + 1)
+        for t in range(0, m + 1)
+    )
+    assert found, "jaro value must decompose with an integer transposition count"
