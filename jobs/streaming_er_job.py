@@ -46,6 +46,13 @@ def main() -> None:
         "spark.sql.shuffle.partitions",
         str(max(4 * spark.sparkContext.defaultParallelism, 16)),
     )
+    # micro-batch scans are a fraction of the table: with the default 128 MB
+    # split a ~5 GB batch is ~40 tasks — 2.4 waves at 16 cores, so the last
+    # wave idles most of the level and the scan+fingerprint stage (the
+    # per-batch front) caps below 2× scaling 4→16. 48 MB keeps every batch
+    # at ≥6 even waves per level without per-task overhead dominating —
+    # batch-sized scan-split tuning a real cluster does per-trigger.
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(48 * 1024 * 1024))
 
     from mapping_analysis_spark.pipeline import PipelineConfig
     from mapping_analysis_spark.streaming.engine import (

@@ -88,6 +88,26 @@ class StreamingERConfig:
         return _urljoin(self.work_dir, "checkpoint")
 
 
+def _parquet_footer_rows(path: str) -> int | None:
+    """Row count of a local parquet directory from file footers — a
+    driver-side metadata read replacing a Spark count job on the per-batch
+    serial path. Returns None (caller falls back to .count()) for remote
+    URIs, empty globs, or any pyarrow failure."""
+    if "://" in path:
+        return None
+    try:
+        import glob as _glob
+
+        import pyarrow.parquet as _pq
+
+        files = _glob.glob(os.path.join(path, "*.parquet"))
+        if not files:
+            return None
+        return sum(_pq.ParquetFile(f).metadata.num_rows for f in files)
+    except Exception:
+        return None
+
+
 def _urljoin(base: str, *parts: str) -> str:
     """Path join that is also URI-correct for hdfs://... work dirs."""
     if "://" in base:
@@ -408,9 +428,17 @@ class StreamingERJob:
         new_rows, removed = self._write_delta(clusters_with_bands, tomb, batch_id)
         _phase("merge+delta-write")
         # cluster-count bookkeeping rides the commit markers: total' =
-        # total − |tombstones| + |new rows| (counts over the just-written
-        # tiny parquet files — footer metadata, no data scan)
-        n_new, n_removed = new_rows.count(), removed.count()
+        # total − |tombstones| + |new rows|. Counts come from the
+        # just-written parquet FOOTERS (driver-side metadata read, no
+        # Spark job) when the state dir is driver-local; remote/URI state
+        # falls back to the two tiny count jobs.
+        droot = self.fs.join(self.cfg.state_dir, f"d={batch_id}")
+        n_new = _parquet_footer_rows(self.fs.join(droot, "rows"))
+        n_removed = _parquet_footer_rows(self.fs.join(droot, "removed"))
+        if n_new is None:
+            n_new = new_rows.count()
+        if n_removed is None:
+            n_removed = removed.count()
         prev_entries = [
             (b, k) for b, k in self._state_entries() if b < batch_id
         ]
@@ -442,14 +470,16 @@ class StreamingERJob:
             )
             self._write_full(full, batch_id)
             _phase("compaction-write")
-        # this batch's output = exactly the delta rows
-        clusters = new_rows.drop("band_keys")
-
-        # ---- exactly-once sink: overwrite THIS batch's partition only
+        # ---- exactly-once sink: overwrite THIS batch's partition only.
+        # The output rows ARE the just-written delta rows, so publishing is
+        # a filesystem copy (hardlink locally, FileUtil.copy on Hadoop FS)
+        # of the delta parquet instead of a second Spark re-encode job —
+        # the band_keys index column rides along and output() drops it.
+        # Visibility is still gated by the commit marker; a replayed batch
+        # rmtrees its own partition first (idempotent).
         out_path = self.fs.join(cfg.output_dir, f"batch_id={batch_id}")
         self.fs.rmtree(out_path)
-        # the partition directory supplies batch_id on read (basePath)
-        clusters.write.mode("overwrite").parquet(out_path)
+        self.fs.copytree(self.fs.join(droot, "rows"), out_path)
         _phase("output-write")
 
         # ---- state commit + watermark + lineage
@@ -520,9 +550,12 @@ class StreamingERJob:
         return self._load_state(versions[-1] + 1)
 
     def output(self) -> DataFrame:
-        return self.spark.read.option("basePath", self.cfg.output_dir).parquet(
+        out = self.spark.read.option("basePath", self.cfg.output_dir).parquet(
             self.cfg.output_dir + "/batch_id=*"
         )
+        # the sink publishes the delta parquet verbatim (hardlink/copy);
+        # the band-key index column is state-internal — hide it here
+        return out.drop("band_keys")
 
     def lineage(self) -> DataFrame:
         return self.spark.read.option("basePath", self.cfg.lineage_dir).parquet(

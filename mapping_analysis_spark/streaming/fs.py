@@ -74,6 +74,15 @@ class StateFS:
         """Recursive delete; missing path is not an error."""
         raise NotImplementedError
 
+    def copytree(self, src: str, dst: str) -> None:
+        """Recursive copy of a (small) directory of data files — used to
+        publish a just-written state delta as the batch's output partition
+        without re-encoding it through a second Spark write job. POSIX
+        hardlinks when possible (same bytes, zero copy); Hadoop uses
+        FileUtil.copy. The copy need not be atomic — visibility is gated
+        by the state commit marker, and a replayed batch rmtrees first."""
+        raise NotImplementedError
+
 
 class LocalStateFS(StateFS):
     """POSIX implementation (the sandbox default)."""
@@ -105,6 +114,19 @@ class LocalStateFS(StateFS):
 
     def rmtree(self, path: str) -> None:
         shutil.rmtree(path, ignore_errors=True)
+
+    def copytree(self, src: str, dst: str) -> None:
+        os.makedirs(dst, exist_ok=True)
+        for root, _dirs, files in os.walk(src):
+            rel = os.path.relpath(root, src)
+            troot = dst if rel == "." else os.path.join(dst, rel)
+            os.makedirs(troot, exist_ok=True)
+            for fn in files:
+                s, d = os.path.join(root, fn), os.path.join(troot, fn)
+                try:
+                    os.link(s, d)  # same device: zero-copy
+                except OSError:
+                    shutil.copyfile(s, d)
 
 
 class HadoopStateFS(StateFS):
@@ -168,3 +190,8 @@ class HadoopStateFS(StateFS):
         p = self._p(path)
         if self._fs.exists(p):
             self._fs.delete(p, True)
+
+    def copytree(self, src: str, dst: str) -> None:
+        self._jvm.org.apache.hadoop.fs.FileUtil.copy(
+            self._fs, self._p(src), self._fs, self._p(dst), False, True, self._conf
+        )
