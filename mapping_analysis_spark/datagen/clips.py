@@ -142,6 +142,7 @@ def generate_clips_pdf(
     start: datetime | None = None,
     late_fraction: float = 0.05,
     cluster_offset: int = 0,
+    dur_range_ms: tuple[int, int] = (500, 5001),
 ) -> pd.DataFrame:
     """Generate the clips corpus as pandas (one row per clip).
 
@@ -163,7 +164,12 @@ def generate_clips_pdf(
             hot = f"hot{c % skew_keys:02d}"
             text = f"{hot}key {text}"
         sr = SR_CHOICES[int(crng.integers(0, len(SR_CHOICES)))]
-        dur_ms = int(crng.integers(500, 5001))
+        # dur_range_ms: the pinned bench tiers pick the clip-length
+        # profile — the default long-form profile, or a short-clip profile
+        # that packs more ROWS per resident-memory GB (the 10^12-clip
+        # north target scales in rows; the sandbox page-cache protocol
+        # caps resident bytes)
+        dur_ms = int(crng.integers(dur_range_ms[0], dur_range_ms[1]))
         pcm = cluster_pcm(crng, sr, dur_ms)
         n_dups = int(crng.integers(2, n_sources + 1))
         sources = list(crng.choice(np.arange(1, n_sources + 1), n_dups, replace=False))

@@ -143,12 +143,31 @@ class StreamingERJob:
     def _state_entries(self) -> list[tuple[int, str]]:
         """Committed state entries as (batch_id, kind), kind ∈ {'full',
         'delta'}, ascending by batch. A compaction batch leaves only its
-        ``v=`` dir (its scratch delta is removed at commit)."""
+        ``v=`` dir (its scratch delta is removed at commit).
+
+        A version counts as committed only if BOTH its commit marker AND
+        its data files' ``_SUCCESS`` markers are present: the marker is
+        written strictly after the data, but a filesystem without atomic
+        visibility ordering (object stores, a crash mid-rename-race) can
+        surface the marker while the parquet write is still partial —
+        requiring ``_SUCCESS`` makes a truncated version read as
+        uncommitted, so recovery rebuilds from the previous committed
+        version and the deterministic replay rewrites it (tested in
+        tests/test_streaming.py failure-injection cases)."""
         out = []
         for d in self.fs.listdir(self.cfg.state_dir):
-            if (d.startswith("v=") or d.startswith("d=")) and self.fs.exists(
-                self.fs.join(self.cfg.state_dir, d, "_COMMITTED")
-            ):
+            if not (d.startswith("v=") or d.startswith("d=")):
+                continue
+            root = self.fs.join(self.cfg.state_dir, d)
+            if not self.fs.exists(self.fs.join(root, "_COMMITTED")):
+                continue
+            if d.startswith("v="):
+                data_ok = self.fs.exists(self.fs.join(root, "_SUCCESS"))
+            else:
+                data_ok = self.fs.exists(
+                    self.fs.join(root, "rows", "_SUCCESS")
+                ) and self.fs.exists(self.fs.join(root, "removed", "_SUCCESS"))
+            if data_ok:
                 out.append((int(d[2:]), "full" if d.startswith("v=") else "delta"))
         return sorted(out)
 

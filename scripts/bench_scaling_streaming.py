@@ -31,7 +31,20 @@ sys.path.insert(0, REPO)
 
 N_CLUSTERS = int(os.environ.get("STREAM_N_CLUSTERS", "80000"))
 SEED = 42
-CORPUS = f"/tmp/spark_graft_scaling_{N_CLUSTERS}_{SEED}"
+# clip-length profile: "500-5001" (default long-form) or e.g. "500-2001"
+# (short-clip tier: ~2.4x the rows per resident-memory GB — the north
+# target scales in ROWS and the warm-page-cache protocol caps bytes)
+DUR_RANGE = tuple(
+    int(x) for x in os.environ.get("STREAM_DUR_MS", "500-5001").split("-")
+)
+_PROFILE = "" if DUR_RANGE == (500, 5001) else f"_d{DUR_RANGE[0]}x{DUR_RANGE[1]}"
+# corpus location override (e.g. /dev/shm for a tmpfs-resident corpus when
+# the root disk cannot hold it; tmpfs IS the page cache, so the warm-read
+# protocol is unchanged)
+CORPUS = os.environ.get(
+    "STREAM_CORPUS_DIR",
+    f"/tmp/spark_graft_scaling_{N_CLUSTERS}_{SEED}{_PROFILE}",
+)
 MAX_FILES = int(os.environ.get("STREAM_MAX_FILES", "70"))
 LEVELS = (
     int(os.environ.get("SCALING_N_CORES", "4")),
@@ -50,9 +63,17 @@ def ensure_corpus() -> None:
         "from mapping_analysis_spark.session import get_spark\n"
         "import os\n"
         "spark = get_spark('stream-scaling-datagen', cpus=os.cpu_count() or 8)\n"
-        "write_clips_parquet(spark, %r, %d, seed=%d, partitions=%d)\n"
+        "write_clips_parquet(spark, %r, %d, seed=%d, partitions=%d,\n"
+        "                    dur_range_ms=%r)\n"
         "spark.stop()\n"
-    ) % (REPO, CORPUS, N_CLUSTERS, SEED, max(128, (N_CLUSTERS * 7 // 2) // 1000))
+    ) % (
+        REPO,
+        CORPUS,
+        N_CLUSTERS,
+        SEED,
+        max(128, (N_CLUSTERS * 7 // 2) // 1000),
+        DUR_RANGE,
+    )
     subprocess.run([sys.executable, "-c", code], check=True)
 
 
@@ -143,6 +164,13 @@ def run_level(cpus: int, zip_path: str) -> dict:
         env=env,
     )
     elapsed = time.time() - t0
+    # keep the job's stdout/stderr (per-batch phase timers when
+    # SPARK_GRAFT_DEBUG_BATCH is set) for the committed raw logs
+    log = os.path.join(REPO, "scripts", f"stream_level_{cpus}_last.log")
+    with open(log, "w") as f:
+        f.write(proc.stdout)
+        f.write("\n--- stderr ---\n")
+        f.write(proc.stderr[-20000:])
     if proc.returncode != 0:
         print(proc.stdout[-3000:], file=sys.stderr)
         print(proc.stderr[-3000:], file=sys.stderr)

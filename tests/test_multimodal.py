@@ -102,3 +102,41 @@ def test_sample_frames(spark):
             )
             assert np.array_equal(np.frombuffer(bytes(r.frame), np.uint8), expect)
             assert r.frame_sum == int(expect.sum())
+
+
+def test_decode_image_seam_runs_either_way():
+    """The real-codec seam must behave correctly in BOTH environments:
+    with PIL installed a non-XIMG buffer decodes for real; without it the
+    seam raises the documented NotImplementedError (never a silent wrong
+    answer). The XIMG fake container decodes regardless."""
+    import numpy as np
+    import pytest as _pytest
+
+    from mapping_analysis_spark.operators.multimodal import (
+        IMG_MAGIC,
+        _decode_image,
+    )
+
+    # XIMG path: always available
+    import struct as _struct
+
+    w, h = 4, 3
+    px = np.arange(w * h, dtype=np.uint8)
+    buf = IMG_MAGIC + _struct.pack(">HH", w, h) + px.tobytes()
+    gw, gh, gpx = _decode_image(buf)
+    assert (gw, gh) == (w, h) and np.array_equal(gpx, px)
+
+    # real-codec path: a tiny valid PNG (1x1 white, precomputed bytes)
+    png_1x1 = bytes.fromhex(
+        "89504e470d0a1a0a0000000d49484452000000010000000108000000003a7e9b55"
+        "0000000a49444154789c6300010000050001"
+        "0d0a2db40000000049454e44ae426082"
+    )
+    try:
+        import PIL  # noqa: F401
+
+        gw, gh, gpx = _decode_image(png_1x1)
+        assert (gw, gh) == (1, 1) and gpx.shape == (1,)
+    except ImportError:
+        with _pytest.raises(NotImplementedError):
+            _decode_image(png_1x1)

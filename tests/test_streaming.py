@@ -514,3 +514,229 @@ def test_streaming_job_runs_through_hadoop_fs(spark, corpus, tmp_path):
     ka = {(r.id, tuple(r.members)) for r in a.collect()}
     kb = {(r.id, tuple(r.members)) for r in b.collect()}
     assert ka == kb and len(ka) > 0
+
+
+# ---------------------------------------------------------------------------
+# round 4: long-horizon soak + state-store failure injection
+# ---------------------------------------------------------------------------
+
+
+def _make_many_file_corpus(spark, tmp_path_factory, n_clusters=160, files=50):
+    """Corpus split into ``files`` single-file micro-batches."""
+    root = str(tmp_path_factory.mktemp("soak_flat"))
+    df = clips_spark_df(spark, n_clusters, seed=11).orderBy("event_time")
+    pdf = df.toPandas().drop(columns=["gold_cluster"])
+    step = max(1, len(pdf) // files)  # floor: guarantees >= `files` files
+    for i in range((len(pdf) + step - 1) // step):
+        part = pdf.iloc[i * step : (i + 1) * step]
+        if len(part) == 0:
+            break
+        part.to_parquet(
+            os.path.join(root, f"part-{i:04d}.parquet"),
+            index=False,
+            coerce_timestamps="us",  # Spark reads TIMESTAMP(MICROS)
+            allow_truncated_timestamps=True,
+        )
+    return root
+
+
+def _state_dir_stats(work):
+    state = os.path.join(work, "state")
+    fulls = [d for d in os.listdir(state) if d.startswith("v=")]
+    deltas = [d for d in os.listdir(state) if d.startswith("d=")]
+    size = 0
+    for r, _d, fs in os.walk(state):
+        size += sum(os.path.getsize(os.path.join(r, f)) for f in fs)
+    return fulls, deltas, size
+
+
+def test_soak_50_batches_bounded_state_and_midstream_restart(
+    spark, tmp_path_factory, tmp_path
+):
+    """100-TB operation is a months-long stream: drive 50 micro-batches
+    through the engine and assert (a) the state directory stays bounded by
+    the compaction/retirement policy, (b) watermark metadata does not
+    grow, (c) a kill at ~batch 40 + restart replays to the IDENTICAL final
+    state as an uninterrupted run."""
+    import json as _json
+    import time as _time
+
+    source = _make_many_file_corpus(spark, tmp_path_factory)
+    n_files = len([f for f in os.listdir(source) if f.endswith(".parquet")])
+    assert n_files >= 50
+
+    def cfg_for(work):
+        return StreamingERConfig(
+            source_dir=source,
+            work_dir=work,
+            watermark_delay_sec=24 * 3600,
+            max_files_per_trigger=1,
+            compact_every=8,
+            pipeline=PipelineConfig(min_sim=0.7, use_audio=False),
+        )
+
+    # --- uninterrupted reference run over all 50 batches
+    ref_work = str(tmp_path / "ref")
+    ref_job = StreamingERJob(spark, cfg_for(ref_work))
+    q = ref_job.start(available_now=True)
+    q.awaitTermination(1200)
+    # "all batches processed" is read off the PERSISTENT output partitions
+    # (one per micro-batch) — _committed_versions() intentionally shrinks
+    # as retirement prunes superseded state history
+    def n_out(work):
+        out = os.path.join(work, "output")
+        return len([d for d in os.listdir(out) if d.startswith("batch_id=")])
+
+    ref_batches = n_out(ref_work)
+    assert ref_batches >= 50
+    # retirement pruned: the live version list stays a bounded window
+    assert len(ref_job._committed_versions()) <= 2 * 8 + 2
+    # state dir bounded: retirement keeps <=2 snapshots and only the
+    # deltas at/after the older one (< 2 compaction generations)
+    fulls, deltas, size = _state_dir_stats(ref_work)
+    assert len(fulls) <= 2
+    assert len(deltas) <= 2 * 8
+    assert size < 200 * 1024 * 1024
+    # watermark metadata is one fixed-size blob, not a growing log
+    wm = os.path.join(ref_work, "state", "_watermark.json")
+    assert os.path.getsize(wm) < 1024
+    assert set(_json.loads(open(wm).read())) == {"max_event_time"}
+
+    # --- soak with mid-stream kill at ~batch 40 + restart
+    work = str(tmp_path / "soak")
+    job = StreamingERJob(spark, cfg_for(work))
+    q = job.start(available_now=False)  # processingTime: stoppable mid-run
+    deadline = _time.time() + 900
+    while _time.time() < deadline:
+        if n_out(work) >= 40:
+            break
+        _time.sleep(0.5)
+    q.stop()
+    q.awaitTermination(60)
+    assert n_out(work) >= 40
+    job2 = StreamingERJob(spark, cfg_for(work))
+    q2 = job2.start(available_now=True)
+    q2.awaitTermination(1200)
+    assert n_out(work) == ref_batches
+    ref_members = sorted(
+        tuple(sorted(r.members))
+        for r in ref_job.final_state().select("members").collect()
+    )
+    got_members = sorted(
+        tuple(sorted(r.members))
+        for r in job2.final_state().select("members").collect()
+    )
+    assert got_members == ref_members
+    fulls, deltas, _size = _state_dir_stats(work)
+    assert len(fulls) <= 2 and len(deltas) <= 2 * 8
+
+
+def test_truncated_delta_with_marker_is_recovered(spark, corpus, tmp_path):
+    """Failure injection (rename-race / partial write): a delta whose
+    commit marker landed but whose parquet write is truncated (_SUCCESS
+    missing) must read as UNCOMMITTED — recovery rebuilds from the last
+    good version and the deterministic replay rewrites the batch."""
+    source_dir, _ = corpus
+    work = str(tmp_path / "w")
+    job = _run_job(spark, source_dir, work)
+    versions = job._committed_versions()
+    assert len(versions) >= 3
+    last = versions[-1]
+    state_before = sorted(
+        tuple(sorted(r.members))
+        for r in job.final_state().select("members").collect()
+    )
+    # truncate the last delta's rows write but leave its commit marker
+    droot = os.path.join(work, "state", f"d={last}")
+    if not os.path.isdir(droot):
+        pytest.skip("last batch compacted — delta folded away")
+    os.remove(os.path.join(droot, "rows", "_SUCCESS"))
+    for fn in os.listdir(os.path.join(droot, "rows")):
+        if fn.endswith(".parquet"):
+            # physically truncate one data file too
+            p = os.path.join(droot, "rows", fn)
+            with open(p, "r+b") as f:
+                f.truncate(os.path.getsize(p) // 2)
+            break
+    job_r = StreamingERJob(spark, job.cfg)
+    assert job_r._committed_versions() == versions[:-1]
+    # deterministic replay of the damaged batch (what Spark's checkpoint
+    # does on restart for an uncommitted epoch)
+    from mapping_analysis_spark.schema import CLIPS_SCHEMA
+
+    files = sorted(os.listdir(source_dir))
+    replay_df = spark.read.schema(CLIPS_SCHEMA).parquet(
+        os.path.join(source_dir, files[last])
+    )
+    job_r.process_batch(replay_df, last)
+    assert job_r._committed_versions() == versions
+    state_after = sorted(
+        tuple(sorted(r.members))
+        for r in job_r.final_state().select("members").collect()
+    )
+    assert state_after == state_before
+
+
+def test_truncated_snapshot_with_marker_is_recovered(spark, corpus, tmp_path):
+    """Same injection against a full snapshot (v=) version."""
+    source_dir, _ = corpus
+    work = str(tmp_path / "w")
+    job = _run_job(spark, source_dir, work)
+    entries = job._state_entries()
+    fulls = [b for b, k in entries if k == "full"]
+    assert fulls
+    # capture the healthy final state BEFORE injecting the damage
+    state_expected = sorted(
+        tuple(sorted(r.members))
+        for r in job.final_state().select("members").collect()
+    )
+    all_versions = job._committed_versions()
+    # damage the NEWEST snapshot: with one compaction generation kept
+    # behind it, recovery must fall back to the older snapshot + deltas
+    target = fulls[-1]
+    vroot = os.path.join(work, "state", f"v={target}")
+    os.remove(os.path.join(vroot, "_SUCCESS"))
+    job_r = StreamingERJob(spark, job.cfg)
+    entries_r = job_r._state_entries()
+    assert (target, "full") not in entries_r
+    remaining_fulls = [b for b, k in entries_r if k == "full"]
+    # recovery = deterministic replay from the newest still-valid base
+    # (or from scratch when none remains — the damaged snapshot was the
+    # initial compaction)
+    start = max(remaining_fulls) + 1 if remaining_fulls else 0
+    from mapping_analysis_spark.schema import CLIPS_SCHEMA
+
+    files = sorted(os.listdir(source_dir))
+    for b in [b for b in all_versions if b >= start]:
+        replay_df = spark.read.schema(CLIPS_SCHEMA).parquet(
+            os.path.join(source_dir, files[b])
+        )
+        job_r.process_batch(replay_df, b)
+    state_after = sorted(
+        tuple(sorted(r.members))
+        for r in job_r.final_state().select("members").collect()
+    )
+    assert state_after == state_expected
+
+
+def test_state_fs_copytree_contract(spark, tmp_path):
+    """StateFS.copytree must publish a directory byte-identically on both
+    implementations (POSIX hardlink path + Hadoop FileUtil.copy path)."""
+    from mapping_analysis_spark.streaming.fs import state_fs_for
+
+    for scheme in ("", "file://"):
+        root = str(tmp_path / ("h" if scheme else "p"))
+        fs = state_fs_for(scheme + root if scheme else root, spark)
+        src = fs.join(scheme + root if scheme else root, "src")
+        dst = fs.join(scheme + root if scheme else root, "dst")
+        fs.makedirs(src)
+        fs.write_text(fs.join(src, "_SUCCESS"), "")
+        fs.write_text(fs.join(src, "a.parquet"), "AAA")
+        fs.copytree(src, dst)
+        assert fs.exists(fs.join(dst, "_SUCCESS"))
+        assert fs.read_text(fs.join(dst, "a.parquet")) == "AAA"
+        # idempotent re-publish after rmtree (the replay path)
+        fs.rmtree(dst)
+        assert not fs.exists(dst)
+        fs.copytree(src, dst)
+        assert fs.read_text(fs.join(dst, "a.parquet")) == "AAA"
