@@ -159,7 +159,9 @@ def merge_execution(
     from ..util import parallel_grouped
 
     return (
-        parallel_grouped(representatives.select(*cols), block_col)
+        # factor=4: narrow rows, python-CPU-heavy heavy-tailed groups —
+        # finer partitions isolate the big components (see parallel_grouped)
+        parallel_grouped(representatives.select(*cols), block_col, factor=4)
         .groupBy(block_col)
         .applyInPandas(solve, schema=MERGE_RESULT_SCHEMA)
     )

@@ -65,7 +65,7 @@ def loop_paths(n: int = 2, tag: str = "loop") -> list[str]:
     return [f"{base}_{i}" for i in range(n)]
 
 
-def parallel_grouped(df: DataFrame, *keys: str) -> DataFrame:
+def parallel_grouped(df: DataFrame, *keys: str, factor: int = 1) -> DataFrame:
     """Hash-repartition by ``keys`` with an EXPLICIT partition count, for use
     immediately before a grouped-map (``groupBy(keys).applyInPandas``) stage.
 
@@ -87,7 +87,15 @@ def parallel_grouped(df: DataFrame, *keys: str) -> DataFrame:
     CPU-bound Python stage across all cores.
     """
     spark = df.sparkSession
-    n = max(
+    # ``factor`` > 1 is for NARROW, compute-heavy grouped stages with
+    # heavy-tailed group costs (the per-component merge: stage event logs
+    # showed 8 of 73 tasks carrying half the stage's core-seconds and a
+    # 55 s straggler tail at 16 cores — finer hash partitions isolate the
+    # heavy groups and halve the tail). Do NOT raise it for data-heavy
+    # shuffles: 4× reducers on the token-replicated scorer shuffle
+    # measured 2.5× the stage's core-seconds (shuffle fragmentation +
+    # per-task fixed cost dominate when each reduce partition is large).
+    n = factor * max(
         int(spark.conf.get("spark.sql.shuffle.partitions")),
         spark.sparkContext.defaultParallelism,
     )
