@@ -1074,7 +1074,16 @@ def q_idf_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     singleton block. The DuckDB oracle replays every stage exactly — the
     idf ranking closed-form, the support join, and the component labels
     via a recursive transitive-closure CTE (the support graph at oracle
-    scale is tiny; Spark runs the O(log n) distributed CC)."""
+    scale is tiny; Spark runs the O(log n) distributed CC).
+
+    Cost note: the synthetic documents table is ADVERSARIAL for IDF
+    blocking — its vocabulary is 30 words, so every "high-IDF" token
+    still appears in ~n/6 documents and the support graph is ~quadratic
+    by construction (9.4M pairs at sf0.1). The plan survives it because
+    the per-token enumeration is salted (bounded tasks) and CC takes the
+    distributed path; the ~16 s at sf0.1 is the data's edge count, not a
+    plan pathology — on high-entropy real text the same plan is ~linear
+    (top-4 rare tokens of a document have tiny df at corpus scale)."""
     from mapping_analysis_spark.operators.blocking import idf_support_pairs
     from mapping_analysis_spark.operators.graph import connected_components
 
