@@ -991,3 +991,19 @@ def test_jaro_transpositions_floor_matches_simmetrics():
         for t in range(0, m + 1)
     )
     assert found, "jaro value must decompose with an integer transposition count"
+
+
+def test_parallel_grouped_factor(spark):
+    """factor multiplies the explicit grouped-map partition count (the
+    narrow merge stage's tail fix) without changing grouping semantics."""
+    from mapping_analysis_spark.util import parallel_grouped
+
+    df = spark.createDataFrame([(i % 7, i) for i in range(100)], "k long, v long")
+    base = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n1 = parallel_grouped(df, "k").rdd.getNumPartitions()
+    n4 = parallel_grouped(df, "k", factor=4).rdd.getNumPartitions()
+    expected = max(base, spark.sparkContext.defaultParallelism)
+    assert n1 == expected and n4 == 4 * expected
+    # same row multiset either way
+    a = sorted((r.k, r.v) for r in parallel_grouped(df, "k", factor=4).collect())
+    assert a == sorted((i % 7, i) for i in range(100))
