@@ -140,6 +140,16 @@ def main() -> None:
         "simsort",
         "cep_funnel",
         "soundex_keys",
+        # round-5 additions: oracle-checked queries that previously had no
+        # committed timing — regressions in their plans now show in the
+        # per-round BENCH_r*.json diff, not just correctness
+        "typegroupby",
+        "sliding_window",
+        "doc_fingerprint",
+        "er_documents",
+        "nc_candidates",
+        "ann_topk",
+        "best_link",
     ]
     qs = entrymod.queries()
     for name in bench_queries:

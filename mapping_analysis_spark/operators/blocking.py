@@ -159,25 +159,47 @@ def salted_block_pairs(
 # ANSI overflow checks on (Spark 4 default)
 _MERSENNE = (1 << 31) - 1
 
-# salted_block_pair_scores: max shared-token pair-occurrence entries the
-# run-based vectorized intersection may materialize per group (~56 B/entry
-# across the temp arrays → ~110 MB peak at this cap); denser groups fall
-# back to per-pair sorted intersection (same counts, bounded memory)
-_MAX_PAIR_INCIDENCE = 2_000_000
+# salted_block_pair_scores: pair-incidence entries enumerated per CHUNK of
+# the run-based intersection kernel (~6 int32/int64 scratch arrays × chunk
+# entries ≈ 5-8 MB peak per task slot). Chosen ≈ the largest dense count
+# buffer (512² codes) so the per-chunk bincount pass is amortized. See
+# pair_intersection_counts.
+_CHUNK_INCIDENCE = 1 << 18
+
+# reusable per-worker scratch for the dense pair-count buffer (the largest
+# recurring allocation of the kernel): python workers are long-lived per
+# stage, so reusing one zeroed buffer across pandas groups avoids a ~MB
+# malloc/free + page-fault cycle per group (measured as part of the
+# python-stage core-second inflation at 16 workers on one memory bus)
+_COUNTS_BUF = None
+
+
+def _counts_buffer(nn: int):
+    import numpy as np
+
+    global _COUNTS_BUF
+    if _COUNTS_BUF is None or _COUNTS_BUF.size < nn:
+        _COUNTS_BUF = np.zeros(max(nn, 1 << 18), dtype=np.int64)
+        return _COUNTS_BUF[:nn]
+    buf = _COUNTS_BUF[:nn]
+    buf[:] = 0
+    return buf
 
 
 def cell_pair_grid(cells, gi: int, gj: int):
     """Candidate index pairs (li, ri) for one salt-cell pair (gi, gj) of a
     block-local scoring group: the full cross grid between the two cells,
     or the strict upper triangle when gi == gj. Shared by every grouped-map
-    enumerate-and-score kernel (music text scorer, geo 3-channel scorer)."""
+    enumerate-and-score kernel (music text scorer, geo 3-channel scorer).
+    int32 indices (group rows ≤ 2·max_block_rows ≪ 2³¹) — halves the
+    bytes/element of every downstream per-pair array."""
     import numpy as np
 
-    left_idx = np.flatnonzero(cells == gi)
+    left_idx = np.flatnonzero(cells == gi).astype(np.int32)
     if gi == gj:
         li, ri = np.triu_indices(len(left_idx), k=1)
         return left_idx[li], left_idx[ri]
-    right_idx = np.flatnonzero(cells == gj)
+    right_idx = np.flatnonzero(cells == gj).astype(np.int32)
     li = np.repeat(left_idx, len(right_idx))
     ri = np.tile(right_idx, len(left_idx))
     return li, ri
@@ -185,58 +207,140 @@ def cell_pair_grid(cells, gi: int, gj: int):
 
 def pair_intersection_counts(toks, lens, lo, hi):
     """|T_lo ∩ T_hi| for each requested index pair, over per-record
-    sorted-UNIQUE int64 token arrays, in one vectorized pass: flatten
-    tokens, sort, then every run of equal token values contributes all its
-    record pairs; one bincount over packed (lo*n + hi) pair codes yields
-    the dense count matrix. Per-pair cost is a few streamed C ops — the
-    per-pair searchsorted loop (~7 µs/pair in Python OR boxed JVM sets) is
-    what this replaces; at ~1B candidates per 300k-clip corpus that
-    constant is the whole stage.
+    sorted-UNIQUE int64 token arrays: flatten tokens, sort once, then every
+    run of equal token values contributes all its record pairs; bincounts
+    over packed (lo*n + hi) pair codes yield the dense count matrix.
+    Per-pair cost is a few streamed C ops — the per-pair searchsorted loop
+    (~7 µs/pair in Python OR boxed JVM sets) is what this replaces; at ~1B
+    candidates per 300k-clip corpus that constant is the whole stage.
 
-    MEMORY CAP: the run enumeration materializes one int64 entry per
-    shared-token pair occurrence (Σ L·(L−1)/2 over equal-value runs)
-    across ~7 temp arrays (~56 B/entry). A 512-row group of near-duplicates
-    sharing hundreds of trigrams would allocate tens of millions of entries
-    per task × concurrent task slots, so when the incidence count exceeds
-    ``_MAX_PAIR_INCIDENCE`` (~2M entries ≈ 110 MB peak) we fall back to
-    per-pair sorted intersection over ONLY the surviving pairs — identical
-    counts, bounded memory."""
+    CACHE-RESIDENT BY CONSTRUCTION (round 5): the run enumeration emits one
+    entry per shared-token pair occurrence (Σ L·(L−1)/2 over equal-value
+    runs) — up to tens of millions for a dense group, which the previous
+    one-shot int64 materialization turned into ~100+ MB of DRAM traffic
+    per task slot; with 16 slots sharing one memory bus this class of
+    kernel calibrates at 0.53-1.0 scaling on the sandbox
+    (scripts/bench_hw_ceiling.py `dram`) vs 0.94 cache-resident (`ss`).
+    Here the enumeration runs in CHUNKS of ``_CHUNK_INCIDENCE`` entries
+    with int32 scratch (positions, record indices and pair codes all fit
+    int32 at group sizes), accumulating into one reused dense count buffer
+    — peak scratch ~5-8 MB per slot regardless of group density, and the
+    counts are EXACTLY the same (the former over-incidence fallback path
+    is gone because the memory bound no longer depends on incidence)."""
     import numpy as np
 
     n = len(toks)
     if n <= 1 or lens.sum() == 0:
         return np.zeros(len(lo), dtype=np.float64)
     all_tok = np.concatenate([t for t in toks if len(t)])
-    rec_of = np.repeat(np.arange(n), lens)
+    m = len(all_tok)
+    rec_of = np.repeat(np.arange(n, dtype=np.int32), lens)
     order = np.argsort(all_tok, kind="stable")
     st, sr = all_tok[order], rec_of[order]
-    newrun = np.empty(len(st), dtype=bool)
+    newrun = np.empty(m, dtype=bool)
     newrun[0] = True
     np.not_equal(st[1:], st[:-1], out=newrun[1:])
-    run_id = np.cumsum(newrun) - 1
-    run_start = np.flatnonzero(newrun)
-    # enumerate (i<j) position pairs inside each run, vectorized: the
-    # second element walks each run from offset 1..L-1, paired with every
-    # earlier element of the same run
-    pos_in_run = np.arange(len(st)) - run_start[run_id]
-    reps = pos_in_run  # number of earlier partners per position
-    if int(reps.sum()) <= _MAX_PAIR_INCIDENCE:
-        snd = np.repeat(np.arange(len(st)), reps)
-        # earlier-partner positions: the k-th copy of the element at
-        # absolute position a (run start s) partners position s + k
-        cum = np.concatenate([[0], np.cumsum(reps)])
-        k = np.arange(len(snd)) - cum[np.repeat(np.arange(len(st)), reps)]
-        fst = run_start[run_id[snd]] + k
-        ra, rb = sr[fst], sr[snd]
-        plo = np.minimum(ra, rb)
-        phi = np.maximum(ra, rb)
-        counts = np.bincount(plo * n + phi, minlength=n * n)
-        return counts[lo * n + hi].astype(np.float64)
-    # dense-duplicate fallback: two-pointer intersection per surviving pair
-    inter = np.empty(len(lo), dtype=np.float64)
-    for t in range(len(lo)):
-        inter[t] = np.intersect1d(toks[lo[t]], toks[hi[t]], assume_unique=True).size
-    return inter
+    run_id = (np.cumsum(newrun) - 1).astype(np.int32)
+    run_start = np.flatnonzero(newrun).astype(np.int32)
+    # per-position partner count: position p (run start s) pairs with every
+    # earlier position of its run — reps[p] = p − s
+    reps = np.arange(m, dtype=np.int32) - run_start[run_id]
+    cum = np.zeros(m + 1, dtype=np.int64)
+    np.cumsum(reps, out=cum[1:])
+    nn = n * n
+    counts = _counts_buffer(nn)
+    code_dtype = np.int32 if nn < (1 << 31) else np.int64
+    p0 = 0
+    while p0 < m:
+        # largest p1 with cum[p1] − cum[p0] ≤ chunk (≥ p0+1 so a single
+        # position with a huge run still advances; its size is ≤ m)
+        p1 = int(np.searchsorted(cum, cum[p0] + _CHUNK_INCIDENCE, side="right")) - 1
+        if p1 <= p0:
+            p1 = p0 + 1
+        c0, c1 = int(cum[p0]), int(cum[p1])
+        sz = c1 - c0
+        if sz:
+            snd = np.repeat(np.arange(p0, p1, dtype=np.int32), reps[p0:p1])
+            # earlier-partner positions: the k-th copy of the element at
+            # absolute position a (run start s) partners position s + k
+            k = (np.arange(c0, c1, dtype=np.int64) - cum[snd]).astype(np.int32)
+            fst = run_start[run_id[snd]] + k
+            ra, rb = sr[fst], sr[snd]
+            codes = (
+                np.minimum(ra, rb).astype(code_dtype) * n
+                + np.maximum(ra, rb)
+            )
+            counts += np.bincount(codes, minlength=nn)
+        p0 = p1
+    return counts[lo.astype(np.int64) * n + hi].astype(np.float64)
+
+
+def fp_matrix(values, n: int):
+    """(n, dim) float64 fingerprint matrix + per-row norms from an iterable
+    of array<float> values (None / empty → zero row, norm 0 = invalid).
+    Shared by the block-local scorer and the LSH-extras pair UDF so both
+    paths compute BIT-IDENTICAL sims (same float64 cast, same einsum
+    reduction order) — required for the deterministic dropDuplicates over
+    their union. Returns (None, None) when no row is valid."""
+    import numpy as np
+
+    rows = []
+    idx = []
+    for i, f in enumerate(values):
+        if f is not None and len(f):
+            idx.append(i)
+            rows.append(np.asarray(f, dtype=np.float64))
+    if not idx:
+        return None, None
+    dim = len(rows[0])
+    fpm = np.zeros((n, dim), dtype=np.float64)
+    for i, r in zip(idx, rows):
+        if len(r) == dim:
+            fpm[i] = r
+    norms = np.sqrt(np.einsum("ij,ij->i", fpm, fpm))
+    return fpm, norms
+
+
+def fp_cosine_grid(fpm, norms, li, ri):
+    """sim_audio for index pairs over a fingerprint matrix from
+    ``fp_matrix``: dot/(‖a‖·‖b‖), 6dp HALF_UP (identical to the former
+    JVM ``F.round(dot/(n·n), 6)`` convention), NaN where either side is
+    invalid (null fingerprint or zero norm — the JVM path's null). The
+    whole per-group working set is tiny (≤ 512 × 13 float64 ≈ 53 KB) —
+    cache-resident by construction, vs the former per-pair array
+    materialization through two hash joins."""
+    import numpy as np
+
+    if fpm is None:
+        return np.full(len(li), np.nan)
+    dot = np.einsum("ij,ij->i", fpm[li], fpm[ri])
+    denom = norms[li] * norms[ri]
+    with np.errstate(invalid="ignore", divide="ignore"):
+        sim = np.where(denom > 0, dot / denom, np.nan)
+    return round_half_up_vec6(sim)
+
+
+def fp_pair_cosine(left: Column, right: Column) -> Column:
+    """Pair-wise fingerprint cosine as an Arrow pandas UDF — the LSH-extras
+    twin of the in-group audio channel. MUST stay value-identical to
+    ``fp_cosine_grid`` (it delegates to it), because a pair surfacing both
+    via blocking and via LSH is deduplicated on the full row. NaN marks
+    'no vote'; callers normalize NaN → null before the union."""
+    import numpy as np
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.DoubleType())
+    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        n = len(a)
+        if n == 0:
+            return pd.Series(dtype="float64")
+        both = list(a) + list(b)
+        fpm, norms = fp_matrix(both, 2 * n)
+        idx = np.arange(n, dtype=np.int64)
+        return pd.Series(fp_cosine_grid(fpm, norms, idx, idx + n))
+
+    return _cos(left, right)
 
 
 def round_half_up_vec6(x):
@@ -319,6 +423,7 @@ def salted_block_pair_scores(
     max_sources: int = 5,
     emit_min: float | None = None,
     metric: str = "cosine",
+    fp_col: str | None = None,
 ) -> DataFrame:
     """Blocked pair SIMILARITIES computed block-locally: (src, dst,
     sim_text) for every cross-source pair within a block, where sim_text =
@@ -364,6 +469,18 @@ def salted_block_pair_scores(
     cross-source pair 1.0 (empty-vs-empty) and merge unrelated records —
     and, because the salting size-join can't match null, all of them would
     land in a single O(n²) task.
+
+    ``fp_col`` (round 5): an array<float> fingerprint column scored
+    IN-GROUP as a second channel — output gains ``sim_audio`` (null =
+    no vote), computed by ``fp_cosine_grid`` for exactly the pairs that
+    pass the ``emit_min`` text bound. The fingerprints ride the salt-cell
+    explode (13 floats ≈ 52 B/record — nothing next to the token arrays)
+    and the whole per-group audio working set is ≤ 512 × 13 float64 ≈
+    53 KB, cache-resident; this replaces the former downstream shape (two
+    hash joins attaching both 13-float arrays to every surviving PAIR row
+    + an interpreted JVM fold), which materialized per-pair arrays and was
+    one of the DRAM-bound python/JVM stages behind the N-vs-4N scaling
+    gap.
     """
     import pandas as pd
     from pyspark.sql import types as T
@@ -377,8 +494,11 @@ def salted_block_pair_scores(
         mask_col = "_no_mask"
     df = df.filter(F.col(key_col).isNotNull())
     sizes = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("_block_n"))
+    sel_cols = [id_col, key_col, mask_col, tokens_col]
+    if fp_col is not None:
+        sel_cols.append(fp_col)
     with_cell = (
-        df.select(id_col, key_col, mask_col, tokens_col)
+        df.select(*sel_cols)
         .join(
             F.broadcast(sizes.filter(F.col("_block_n") > max_block_rows)),
             key_col,
@@ -410,7 +530,7 @@ def salted_block_pair_scores(
             ),
         ).otherwise(F.expr("array()").cast("array<struct<i:int,j:int>>")),
     )
-    grouped = with_cell.withColumn("_g", F.explode(pairs_of_cell)).select(
+    group_cols = [
         F.col(id_col).alias("_id"),
         F.col(key_col).alias("_key"),
         F.col(mask_col).alias("_mask"),
@@ -418,20 +538,31 @@ def salted_block_pair_scores(
         F.col("_cell"),
         F.col("_g.i").alias("_gi"),
         F.col("_g.j").alias("_gj"),
+    ]
+    if fp_col is not None:
+        group_cols.append(F.col(fp_col).alias("_fp"))
+    grouped = with_cell.withColumn("_g", F.explode(pairs_of_cell)).select(
+        *group_cols
     )
-    schema = T.StructType(
-        [
-            T.StructField("src", T.LongType(), False),
-            T.StructField("dst", T.LongType(), False),
-            T.StructField("sim_text", T.DoubleType(), True),
-        ]
-    )
+    fields = [
+        T.StructField("src", T.LongType(), False),
+        T.StructField("dst", T.LongType(), False),
+        T.StructField("sim_text", T.DoubleType(), True),
+    ]
+    if fp_col is not None:
+        fields.append(T.StructField("sim_audio", T.DoubleType(), True))
+    schema = T.StructType(fields)
     emit = emit_min
+    use_fp = fp_col is not None
 
-    _EMPTY = pd.DataFrame(
-        {"src": pd.Series(dtype="int64"), "dst": pd.Series(dtype="int64"),
-         "sim_text": pd.Series(dtype="float64")}
-    )
+    empty_cols = {
+        "src": pd.Series(dtype="int64"),
+        "dst": pd.Series(dtype="int64"),
+        "sim_text": pd.Series(dtype="float64"),
+    }
+    if use_fp:
+        empty_cols["sim_audio"] = pd.Series(dtype="float64")
+    _EMPTY = pd.DataFrame(empty_cols)
 
     def solve(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
@@ -444,8 +575,8 @@ def salted_block_pair_scores(
         n = len(ids)
         lens = np.array([len(t) for t in toks], dtype=np.int64)
         # ---- enumerate the group's valid pair grid first (the restriction
-        # mask usually prunes hard, and the fallback path below only needs
-        # intersections for surviving pairs)
+        # mask usually prunes hard, so intersections are only computed for
+        # surviving pairs)
         li, ri = cell_pair_grid(cells, gi, gj)
         if len(li) == 0:
             return _EMPTY.copy()
@@ -477,13 +608,15 @@ def salted_block_pair_scores(
             if len(li) == 0:
                 return _EMPTY.copy()
         ia, ib = ids[li], ids[ri]
-        return pd.DataFrame(
-            {
-                "src": np.minimum(ia, ib).astype(np.int64),
-                "dst": np.maximum(ia, ib).astype(np.int64),
-                "sim_text": sim.astype(np.float64),
-            }
-        )
+        out = {
+            "src": np.minimum(ia, ib).astype(np.int64),
+            "dst": np.maximum(ia, ib).astype(np.int64),
+            "sim_text": sim.astype(np.float64),
+        }
+        if use_fp:
+            fpm, norms = fp_matrix(pdf["_fp"], n)
+            out["sim_audio"] = fp_cosine_grid(fpm, norms, li, ri)
+        return pd.DataFrame(out)
 
     from ..util import parallel_grouped
 
@@ -665,7 +798,19 @@ def idf_support_pairs(
         F.countDistinct(id_col).alias("df_count")
     )
     idf = doc_freq.withColumn("idf", F.log10(F.lit(float(n_docs)) / F.col("df_count")))
-    word_idf = words.join(F.broadcast(idf), "word")
+    # NO forced broadcast of the per-word IDF relation: it scales with the
+    # corpus VOCABULARY (10^8-10^9 distinct tokens at web scale — typos,
+    # junk, code), so an unconditional F.broadcast() is a driver/executor
+    # OOM at 100 TB and disables AQE's own size check. The words side is
+    # already shuffled by the doc_freq aggregation, so the plain equi-join
+    # costs one exchange — and AQE still converts it to a broadcast join
+    # at RUNTIME whenever the measured vocabulary fits
+    # spark.sql.autoBroadcastJoinThreshold (the size-gated equivalent of a
+    # counted row bound, without the second aggregation pass a driver-side
+    # count would cost). The reference broadcasts unconditionally
+    # (IdfBlockingOperation.java:69-70) but only ever at MusicBrainz
+    # vocabulary sizes.
+    word_idf = words.join(idf, "word")
     from pyspark.sql import Window
 
     w = Window.partitionBy(id_col).orderBy(F.desc("idf"), F.asc("word"))

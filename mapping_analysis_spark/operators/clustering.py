@@ -139,28 +139,34 @@ def _round_pairs(
     # records) it silently became two sort-merge joins shuffling the array
     # payload once per PAIR (~50 GB at 300k clips / 120M candidates — the
     # dominant non-scaling term in the N-vs-4N bench).
-    hashed = clusters.select(
+    hashed_cols = [
         "id",
         "blocking_key",
         "sources_mask",
         F.array_sort(
             F.transform(F.col("trigram_set"), lambda t: F.xxhash64(t))
         ).alias("_tg"),
-    )
+    ]
+    if use_audio:
+        hashed_cols.append("fingerprint")
+    hashed = clusters.select(*hashed_cols)
     import os
     import time
 
     _t = time.time()
-    # TEXT-only narrow pass first: the trigram cosine is the cheap channel
-    # and bounds the reachable agg_sim — with mean aggregation over two
-    # channels, a pair needs sim_text ≥ 2·min_sim − 1 to pass the threshold
-    # even at a perfect audio sim of 1.0, so the (3× more expensive)
-    # fingerprint aggregates run only on pairs that can still qualify.
-    # The 1e-6 slack keeps the 6dp HALF_UP rounding boundary on the kept
-    # side, so the survivor set is provably identical to scoring both
-    # channels on every pair — pairs below the bound can never survive any
-    # downstream filter, so the block-local scorer does not emit them.
-    from .blocking import salted_block_pair_scores
+    # One block-local pass scores BOTH channels (round 5): the trigram
+    # cosine is the cheap channel and bounds the reachable agg_sim — with
+    # mean aggregation over two channels, a pair needs sim_text ≥
+    # 2·min_sim − 1 to pass the threshold even at a perfect audio sim of
+    # 1.0, so the audio dot runs only on pairs that clear the bound — and
+    # it runs INSIDE the same grouped-map kernel over a ≤ 53 KB per-group
+    # fingerprint matrix (fp_col), so no per-pair float arrays are ever
+    # materialized or joined (the former two hash joins + interpreted JVM
+    # fold were one of the non-scaling DRAM-bound stages in the N-vs-4N
+    # bench). The 1e-6 slack keeps the 6dp HALF_UP rounding boundary on
+    # the kept side, so the survivor set is provably identical to scoring
+    # both channels on every pair.
+    from .blocking import fp_pair_cosine, salted_block_pair_scores
 
     text_bound = (2.0 * cfg.min_sim - 1.0 if use_audio else cfg.min_sim) - 1e-6
     blocked_scored = salted_block_pair_scores(
@@ -172,20 +178,43 @@ def _round_pairs(
         max_block_rows=cfg.max_block_rows,
         max_sources=cfg.max_sources,
         emit_min=text_bound,
+        fp_col="fingerprint" if use_audio else None,
     )
+    if use_audio:
+        # grouped-map float columns carry NaN for 'no vote' (Arrow has no
+        # null-in-float64-from-numpy); normalize to proper nulls so
+        # mean_agg_sim's absent-channel semantics apply and the union
+        # below dedupes on identical rows
+        blocked_scored = blocked_scored.withColumn(
+            "sim_audio",
+            F.when(F.isnan("sim_audio"), F.lit(None)).otherwise(
+                F.col("sim_audio")
+            ),
+        )
     if extra_pair_ids is not None:
         # LSH extras are few (≈ one per banded record); join the arrays
         # back by id for them only, then dedupe on the NARROW rows (a pair
-        # can surface both blocked and via LSH; sims are identical).
-        tg_side = hashed.select("id", "_tg")
+        # can surface both blocked and via LSH; sims are BIT-identical —
+        # the text twin is pinned by test, the audio twin delegates to the
+        # same fp_cosine_grid kernel — so dropDuplicates is deterministic).
+        side_cols = ["id", "_tg"] + (["fingerprint"] if use_audio else [])
+        tg_side = hashed.select(*side_cols)
         lsh_scored = (
             extra_pair_ids.select("src", "dst")
             .join(
-                tg_side.select(F.col("id").alias("src"), F.col("_tg").alias("_stg")),
+                tg_side.select(
+                    F.col("id").alias("src"),
+                    F.col("_tg").alias("_stg"),
+                    *([F.col("fingerprint").alias("_sfp")] if use_audio else []),
+                ),
                 "src",
             )
             .join(
-                tg_side.select(F.col("id").alias("dst"), F.col("_tg").alias("_dtg")),
+                tg_side.select(
+                    F.col("id").alias("dst"),
+                    F.col("_tg").alias("_dtg"),
+                    *([F.col("fingerprint").alias("_dfp")] if use_audio else []),
+                ),
                 "dst",
             )
             .select(
@@ -194,8 +223,20 @@ def _round_pairs(
                 cosine_trigram_from_sets(F.col("_stg"), F.col("_dtg")).alias(
                     "sim_text"
                 ),
+                *(
+                    [fp_pair_cosine(F.col("_sfp"), F.col("_dfp")).alias("sim_audio")]
+                    if use_audio
+                    else []
+                ),
             )
         )
+        if use_audio:
+            lsh_scored = lsh_scored.withColumn(
+                "sim_audio",
+                F.when(F.isnan("sim_audio"), F.lit(None)).otherwise(
+                    F.col("sim_audio")
+                ),
+            )
         blocked_scored = blocked_scored.unionByName(lsh_scored).dropDuplicates(
             ["src", "dst"]
         )
@@ -204,78 +245,10 @@ def _round_pairs(
         print(f"[rounds] score-pairs-narrow: {time.time() - _t:.1f}s", flush=True)
     _t = time.time()
     if use_audio:
-        # The materialized narrow parquet reads back at #files-way
-        # parallelism (the pre-write exchange AQE-coalesces by BYTES to a
-        # few small files), which pinned the audio-scoring stage below to
-        # ~5 tasks at ANY core count — 80 core-s of join+score work wall-
-        # bounded by 2-wave imbalance at 4 cores and 11 idle slots at 16.
-        # An explicit REPARTITION_BY_NUM of the narrow (src, dst, sim_text)
-        # rows (~20 B/row) costs a trivial shuffle and restores full
-        # fan-out for the fingerprint joins + scoring chain.
-        from ..util import parallel_grouped
-
-        cand = parallel_grouped(
-            narrow.filter(
-                F.col("sim_text").isNull() | (F.col("sim_text") >= text_bound)
-            ),
-            "src",
-        )
-        # fingerprint norms hoisted out of the pair loop: computed once per
-        # RECORD here, so the per-pair expression is a single dot product —
-        # dot/(‖l‖·‖r‖) is arithmetically identical to fingerprint_cosine
-        fp_side = clusters.select(
-            "id",
-            F.col("fingerprint").alias("_fp"),
-            F.sqrt(
-                F.aggregate(
-                    F.col("fingerprint"),
-                    F.lit(0.0),
-                    lambda acc, x: acc + (x * x).cast("double"),
-                )
-            ).alias("_fpn"),
-        )
-        # The zip_with/aggregate fold is interpreted (no codegen), but an
-        # A/B at 3M pairs showed the stage is DOMINATED by the two hash-
-        # join probes materializing the per-pair float arrays, not the
-        # fold: an unrolled 13-term GetArrayItem chain measured ~20% slower
-        # and an Arrow pandas kernel ~75% slower (per-pair array shipping).
-        # The scaling fix for this stage is the fan-out repartition above,
-        # not the dot-product form.
-        dot = F.aggregate(
-            F.zip_with(
-                F.col("_sfp"), F.col("_dfp"), lambda a, b: (a * b).cast("double")
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        sim_audio = F.round(
-            F.when(
-                F.col("_sfp").isNotNull()
-                & F.col("_dfp").isNotNull()
-                & (F.col("_sn") > 0)
-                & (F.col("_dn") > 0),
-                dot / (F.col("_sn") * F.col("_dn")),
-            ),
-            6,
-        )
-        scored_full = (
-            cand.join(
-                fp_side.select(
-                    F.col("id").alias("src"),
-                    F.col("_fp").alias("_sfp"),
-                    F.col("_fpn").alias("_sn"),
-                ),
-                "src",
-            )
-            .join(
-                fp_side.select(
-                    F.col("id").alias("dst"),
-                    F.col("_fp").alias("_dfp"),
-                    F.col("_fpn").alias("_dn"),
-                ),
-                "dst",
-            )
-            .select("src", "dst", "sim_text", sim_audio.alias("sim_audio"))
+        # LSH extras skipped the emit_min bound — apply it here (blocked
+        # rows already cleared it; null sim_text = no-vote passes through)
+        scored_full = narrow.filter(
+            F.col("sim_text").isNull() | (F.col("sim_text") >= text_bound)
         )
     else:
         scored_full = narrow

@@ -57,7 +57,14 @@ def tf_idf(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("df_count"))
         .withColumn("idf", F.log10(F.lit(float(n_docs)) / F.col("df_count")))
     )
-    return tf.join(F.broadcast(idf_df), "word").select(
+    # no forced broadcast: idf_df scales with corpus VOCABULARY (10^8-10^9
+    # distinct tokens at web scale), so the hint is an OOM at 100 TB and
+    # bypasses AQE's size check. Both sides already shuffle on `word` for
+    # their aggregations; AQE converts the join to broadcast at runtime
+    # whenever the measured vocabulary fits autoBroadcastJoinThreshold —
+    # the size-gated equivalent of a counted bound with no extra pass
+    # (same rationale as blocking.idf_support_pairs).
+    return tf.join(idf_df, "word").select(
         "doc_id", "word", "tf", "idf", (F.col("tf") * F.col("idf")).alias("tf_idf")
     )
 

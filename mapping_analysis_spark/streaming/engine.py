@@ -211,6 +211,24 @@ class StreamingERJob:
             state = state.join(tomb, "id", "left_anti").unionByName(rows)
         return state
 
+    def _write_checked(self, df: DataFrame, path: str) -> DataFrame:
+        """``materialize`` with an empty-plan guard: a parquet dir written
+        from an EMPTY plan can end up with zero part files (AQE coalesces
+        an empty shuffle to no partitions), leaving only ``_SUCCESS`` —
+        nothing for readers (state reconstruction, the copy-publish sink,
+        ``output()``) to infer a schema from. Such a dir is rewritten as
+        one empty part file carrying the plan's schema before the
+        read-back (``repartition(1)`` forces exactly one writer task,
+        which always emits a footer). Same 8 MB-rowgroup write options as
+        ``util.materialize`` (read-back parallelism)."""
+        opts = {"parquet.block.size": str(8 * 1024 * 1024)}
+        df.write.mode("overwrite").options(**opts).parquet(path)
+        if not any(f.endswith(".parquet") for f in self.fs.listdir(path)):
+            df.limit(0).repartition(1).write.mode("overwrite").options(
+                **opts
+            ).parquet(path)
+        return self.spark.read.parquet(path)
+
     def _write_delta(
         self, rows: DataFrame, tombstone_ids: DataFrame, batch_id: int
     ) -> tuple[DataFrame, DataFrame]:
@@ -218,12 +236,12 @@ class StreamingERJob:
         (rows, removed) read-backs — the write doubles as the lineage cut
         over the clustering plan, so downstream consumers (output sink,
         counts, compaction) never re-execute it."""
-        from ..util import materialize
-
         droot = self.fs.join(self.cfg.state_dir, f"d={batch_id}")
         self.fs.rmtree(droot)  # replay: half-written delta is discarded
-        removed = materialize(tombstone_ids, path=self.fs.join(droot, "removed"))
-        return materialize(rows, path=self.fs.join(droot, "rows")), removed
+        removed = self._write_checked(
+            tombstone_ids, self.fs.join(droot, "removed")
+        )
+        return self._write_checked(rows, self.fs.join(droot, "rows")), removed
 
     def _write_full(self, state: DataFrame, batch_id: int) -> None:
         """Compaction: write the fully reconstructed state (uncommitted)."""
@@ -231,9 +249,52 @@ class StreamingERJob:
         self.fs.rmtree(path)
         state.write.mode("overwrite").parquet(path)
 
+    def _verify_success_markers(self, batch_id: int, compacted: bool) -> None:
+        """Fail LOUDLY at commit time if the data ``_SUCCESS`` markers that
+        ``_state_entries`` requires are absent. Two distinct failure modes
+        would otherwise be silent: (a) the deployment disabled success
+        markers (``mapreduce.fileoutputcommitter.marksuccessfuljobs=false``,
+        a common object-store tuning) — then EVERY committed version reads
+        as uncommitted, ``_load_state`` returns None and a restarted job
+        reprocesses batches as initial clustering while Spark's checkpoint
+        skips already-committed epochs, i.e. silent state loss; (b) a
+        truncated write. Verifying here, immediately after our own write
+        completed, distinguishes them: the writes above just finished, so
+        an absent marker means the committer writes none — abort before
+        the version is ever published."""
+        if compacted:
+            missing = [
+                p
+                for p in (
+                    self.fs.join(self.cfg.state_dir, f"v={batch_id}", "_SUCCESS"),
+                )
+                if not self.fs.exists(p)
+            ]
+        else:
+            droot = self.fs.join(self.cfg.state_dir, f"d={batch_id}")
+            missing = [
+                p
+                for p in (
+                    self.fs.join(droot, "rows", "_SUCCESS"),
+                    self.fs.join(droot, "removed", "_SUCCESS"),
+                )
+                if not self.fs.exists(p)
+            ]
+        if missing:
+            raise RuntimeError(
+                "state commit aborted: data _SUCCESS marker(s) missing "
+                f"after a completed write: {missing}. The state store's "
+                "commit protocol requires success markers — if this "
+                "deployment sets mapreduce.fileoutputcommitter."
+                "marksuccessfuljobs=false, re-enable it for the state "
+                "directory (otherwise every committed version would "
+                "silently read back as uncommitted)."
+            )
+
     def _commit_state(
         self, batch_id: int, compacted: bool, n_clusters_total: int
     ) -> None:
+        self._verify_success_markers(batch_id, compacted)
         marker = json.dumps(
             {"batch_id": batch_id, "n_clusters_total": n_clusters_total}
         )

@@ -8,17 +8,32 @@ used (frequency/bandwidth throttling), a penalty a real cluster — which
 adds whole machines with their own sockets and memory buses — does not
 have.
 
-This script measures that ceiling with a perfectly parallel, engine-free
-workload: independent numpy FFT pipelines (the same kind of work the MFCC
-stage does) in separate processes, no shared state, no I/O, no shuffle.
-Whatever efficiency THIS shows at a given core window is the maximum ANY
-job can measure there; an engine whose measured efficiency matches the
-ceiling scales perfectly as far as this sandbox can observe.
+This script measures that ceiling with perfectly parallel, engine-free
+workloads in separate processes (no shared state, no I/O, no shuffle) —
+three kernel classes spanning the engine's op/memory mix:
+
+* ``fft``  — cache-resident numpy FFT pipelines (the MFCC stage's op mix).
+* ``ss``   — cache-resident searchsorted + gather (the block scorer's op
+  mix at LLC-sized working sets — the post-round-5 kernel shape).
+* ``dram`` — DRAM-resident searchsorted + gather + stream over a working
+  set far beyond LLC: 200 MB per process (25M int64). The round-4 version
+  used 800 MB per process ≈ 13+ GB RSS at 16 procs — big enough that the
+  calibration kernel itself could induce the memory pressure it was
+  trying to measure (consistent with its 0.53→1.0 swings). 200 MB/proc is
+  still ≫ LLC (so the kernel class is unchanged: every access misses to
+  DRAM) while RSS stays ≤ ~3.2 GB + sort scratch at 16 procs, and the
+  per-proc slice is IDENTICAL at every level, so a unit is equal work and
+  efficiencies compare cleanly.
+
+Whatever efficiency a kernel shows at a given core window is the maximum
+ANY job with that kernel's memory profile can measure there; an engine
+whose measured efficiency matches its kernel-class ceiling scales
+perfectly as far as this sandbox can observe.
 
 Interleaved reps with best-of-N per level (the host is visibly noisy;
 noise only ever adds time).
 
-Usage: python scripts/bench_hw_ceiling.py [levels ...] (default 1 2 4 8 16)
+Usage: python scripts/bench_hw_ceiling.py [levels ...] (default 4 16)
 """
 
 from __future__ import annotations
@@ -30,8 +45,13 @@ import time
 
 import numpy as np
 
+# fixed PER-PROCESS working set for the dram kernel: 25M int64 = 200 MB
+# (see module docstring — bounded RSS, equal work per unit at every level)
+_DRAM_PROC_ELEMS = 25_000_000
 
-def _work(iters: int) -> float:
+
+def _work(args: tuple) -> float:
+    iters, _ = args
     x = np.random.default_rng(0).standard_normal((400, 2048)).astype(np.float32)
     t0 = time.time()
     win = np.hanning(2048).astype(np.float32)
@@ -41,19 +61,36 @@ def _work(iters: int) -> float:
     return time.time() - t0
 
 
-def _work_dram(iters: int) -> float:
-    """DRAM-resident kernel (working set ≫ LLC): sorted binary search +
-    random gather + streaming reduction over an 800 MB array — the memory
-    profile of the engine's flattened token-intersection kernels. On a
-    shared-bus VM this is the kernel class that saturates first: measured
-    4→16-core efficiency 0.53 on this sandbox (2026-08-21) while the
-    cache-resident kernels above measured 0.94-0.95 at the same moment. A
-    real 4→16-EXECUTOR scale-out multiplies memory controllers with the
-    cores and does not have this cliff."""
-    rng = np.random.default_rng(1)
-    big = rng.integers(0, 1 << 62, size=100_000_000, dtype=np.int64)
+def _work_ss(args: tuple) -> float:
+    """Cache-resident searchsorted-intersection kernel (the block scorer's
+    op mix at LLC-sized working sets): sorted search + gather + compare
+    over a ~2 MB array. This is the kernel class the round-5 chunked
+    scorer rewrite targets — measured 0.94x 4→16 on this sandbox where the
+    DRAM-resident variant swung 0.53-1.0 with memory pressure."""
+    iters, _ = args
+    rng = np.random.default_rng(2)
+    big = rng.integers(0, 1 << 62, size=250_000, dtype=np.int64)
     big.sort()
-    q = rng.integers(0, 1 << 62, size=2_000_000, dtype=np.int64)
+    q = rng.integers(0, 1 << 62, size=250_000, dtype=np.int64)
+    t0 = time.time()
+    for _ in range(iters):
+        idx = np.searchsorted(big, q)
+        hit = big[np.minimum(idx, len(big) - 1)] == q
+        hit.sum()
+    return time.time() - t0
+
+
+def _work_dram(args: tuple) -> float:
+    """DRAM-resident kernel (aggregate working set ≫ LLC): sorted binary
+    search + random gather + streaming reduction — the memory profile of
+    the PRE-round-5 flattened token-intersection kernels. On a shared-bus
+    VM this is the kernel class that saturates first. Per-proc working
+    set fixed at 200 MB across levels (module docstring)."""
+    iters, n_elems = args
+    rng = np.random.default_rng(1)
+    big = rng.integers(0, 1 << 62, size=n_elems, dtype=np.int64)
+    big.sort()
+    q = rng.integers(0, 1 << 62, size=max(n_elems // 50, 1), dtype=np.int64)
     t0 = time.time()
     for _ in range(iters):
         idx = np.searchsorted(big, q)
@@ -62,21 +99,23 @@ def _work_dram(iters: int) -> float:
     return time.time() - t0
 
 
-_KERNELS = {"fft": (_work, 20), "dram": (_work_dram, 4)}
+_KERNELS = {"fft": (_work, 20), "ss": (_work_ss, 100), "dram": (_work_dram, 12)}
 
 
 def _run(procs: int, kernel: str = "fft") -> float:
     fn, iters = _KERNELS[kernel]
+    n_elems = _DRAM_PROC_ELEMS if kernel == "dram" else 0
     with mp.Pool(procs) as pool:
         t0 = time.time()
-        pool.map(fn, [iters] * procs)
-        return procs * iters / (time.time() - t0)
+        pool.map(fn, [(iters, n_elems)] * procs)
+        elapsed = time.time() - t0
+    return procs * iters / elapsed
 
 
 def main() -> None:
-    levels = [int(a) for a in sys.argv[1:]] or [1, 2, 4, 8, 16]
+    levels = [int(a) for a in sys.argv[1:]] or [4, 16]
     reps = 3
-    out = {"reps_best_of": reps, "kernels": {}}
+    out = {"reps_best_of": reps, "dram_proc_elems": _DRAM_PROC_ELEMS, "kernels": {}}
     for kernel in _KERNELS:
         best: dict[int, float] = {}
         for _ in range(reps):

@@ -842,38 +842,46 @@ def test_block_local_scores_null_key_excluded(spark):
     assert set(got) == {(3, 4)}
 
 
-def test_block_local_scores_dense_fallback(spark):
-    """A dense near-duplicate block exceeding the pair-incidence cap must
-    fall back to per-pair intersection with IDENTICAL scores (memory-bound
-    path, same values)."""
-    from mapping_analysis_spark.functions.similarity import trigram_set
-    from mapping_analysis_spark.operators import blocking
-    from mapping_analysis_spark.operators.blocking import salted_block_pair_scores
+def test_pair_intersection_counts_chunk_invariant():
+    """The round-5 cache-resident kernel's chunking must never change
+    counts: identical results whether the run enumeration fits one chunk
+    or is forced through many tiny chunks (driver-side — the kernel is
+    pure numpy; executor-side value identity vs the Column spec is pinned
+    by test_block_local_scores_match_join_path). Brute-force sorted
+    intersections are the ground truth. NOTE: monkeypatching the module
+    global only affects THIS process, which is exactly what a pure-numpy
+    test needs (a Spark-side monkeypatch would never reach the executor
+    workers' module copies)."""
+    import numpy as np
 
-    # one block of 40 records sharing a long common text → every token is a
-    # 40-long run: incidence = n_tokens * 40*39/2, trivially over a tiny cap
-    base = "the quick brown fox jumps over the lazy dog again and again"
-    rows = [(i, "kx", 1 << (i % 4), f"{base} variant {i % 5}") for i in range(40)]
-    df = spark.createDataFrame(
-        rows, "id long, blocking_key string, sources_mask long, text string"
-    ).withColumn(
-        "_tg",
-        F.array_sort(F.transform(trigram_set(F.col("text")), lambda t: F.xxhash64(t))),
-    )
-    want = {
-        (r.src, r.dst): r.sim_text
-        for r in salted_block_pair_scores(df, max_sources=3).collect()
-    }
-    old = blocking._MAX_PAIR_INCIDENCE
-    blocking._MAX_PAIR_INCIDENCE = 100  # force the fallback
-    try:
-        got = {
-            (r.src, r.dst): r.sim_text
-            for r in salted_block_pair_scores(df, max_sources=3).collect()
-        }
-    finally:
-        blocking._MAX_PAIR_INCIDENCE = old
-    assert got == want and len(got) > 100
+    from mapping_analysis_spark.operators import blocking
+
+    rng = np.random.default_rng(3)
+    for trial in range(5):
+        n = int(rng.integers(20, 80))
+        toks = [
+            np.unique(rng.integers(0, 30, size=int(rng.integers(0, 60))).astype(np.int64))
+            for _ in range(n)
+        ]
+        lens = np.array([len(t) for t in toks], dtype=np.int64)
+        li, ri = np.triu_indices(n, k=1)
+        lo = li.astype(np.int32)
+        hi = ri.astype(np.int32)
+        want = np.array(
+            [
+                float(np.intersect1d(toks[a], toks[b], assume_unique=True).size)
+                for a, b in zip(lo, hi)
+            ]
+        )
+        one_chunk = blocking.pair_intersection_counts(toks, lens, lo, hi)
+        old = blocking._CHUNK_INCIDENCE
+        blocking._CHUNK_INCIDENCE = 97  # force many tiny chunks
+        try:
+            many = blocking.pair_intersection_counts(toks, lens, lo, hi)
+        finally:
+            blocking._CHUNK_INCIDENCE = old
+        assert np.array_equal(one_chunk, want), trial
+        assert np.array_equal(many, want), trial
 
 
 def test_word_shingles_unicode_whitespace(spark):
@@ -1007,3 +1015,90 @@ def test_parallel_grouped_factor(spark):
     # same row multiset either way
     a = sorted((r.k, r.v) for r in parallel_grouped(df, "k", factor=4).collect())
     assert a == sorted((i % 7, i) for i in range(100))
+
+
+def test_block_local_audio_channel_matches_column_path(spark):
+    """The in-group audio channel (``fp_col``) and the LSH-extras pair UDF
+    (``fp_pair_cosine``) must both reproduce the ``fingerprint_cosine``
+    Column spec at 6dp on the same pairs — and must equal EACH OTHER
+    (they share ``fp_cosine_grid``), which the deterministic
+    dropDuplicates over the blocked ∪ LSH union requires. Covers null
+    fingerprints (no vote) and a zero-norm fingerprint (silent decode)."""
+    import math
+
+    import numpy as np
+
+    from mapping_analysis_spark.functions.audio import fingerprint_cosine
+    from mapping_analysis_spark.functions.similarity import trigram_set
+    from mapping_analysis_spark.operators.blocking import (
+        fp_pair_cosine,
+        salted_block_pair_scores,
+        salted_block_pairs,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(80):
+        if i % 13 == 0:
+            fp = None
+        elif i % 17 == 0:
+            fp = [0.0] * 13  # zero norm → no vote
+        else:
+            fp = [float(np.float32(x)) for x in rng.normal(0, 1, 13)]
+        rows.append(
+            (i, f"k{i % 3}", 1 << (i % 4), f"sample text number {i // 5}", fp)
+        )
+    df = spark.createDataFrame(
+        rows,
+        "id long, blocking_key string, sources_mask long, text string, "
+        "fp array<float>",
+    ).withColumn(
+        "_tg",
+        F.array_sort(F.transform(trigram_set(F.col("text")), lambda t: F.xxhash64(t))),
+    )
+
+    def norm(v):
+        return None if v is None or (isinstance(v, float) and math.isnan(v)) else v
+
+    got = {
+        (r.src, r.dst): norm(r.sim_audio)
+        for r in salted_block_pair_scores(
+            df, max_block_rows=16, max_sources=3, emit_min=None, fp_col="fp"
+        ).collect()
+    }
+    restrict = (
+        (F.col("l.sources_mask").bitwiseAND(F.col("r.sources_mask")) == 0)
+        & (
+            F.bit_count(F.col("l.sources_mask")) + F.bit_count(F.col("r.sources_mask"))
+            <= 3
+        )
+    )
+    spec_pairs = salted_block_pairs(
+        df,
+        max_block_rows=16,
+        restrict=restrict,
+        payload_cols=["sources_mask", "fp"],
+    ).select(
+        "src",
+        "dst",
+        fingerprint_cosine(F.col("src_fp"), F.col("dst_fp")).alias("spec"),
+        fp_pair_cosine(F.col("src_fp"), F.col("dst_fp")).alias("udf"),
+    )
+    spec = {}
+    udf = {}
+    for r in spec_pairs.collect():
+        spec[(r.src, r.dst)] = norm(r.spec)
+        udf[(r.src, r.dst)] = norm(r.udf)
+    assert set(got) == set(spec) and len(got) > 100
+    for p in spec:
+        assert got[p] == udf[p], (p, got[p], udf[p])  # shared kernel: exact
+        if spec[p] is None:
+            assert got[p] is None, p
+        else:
+            # JVM sequential fold vs numpy einsum may differ in the last
+            # ulp pre-rounding; at 6dp they agree
+            assert got[p] is not None and abs(got[p] - spec[p]) < 1.1e-6, (
+                p,
+                got[p],
+                spec[p],
+            )
