@@ -65,6 +65,15 @@ class StreamingERConfig:
     work_dir: str                      # holds state/, output/, lineage/, checkpoint/
     watermark_delay_sec: int = 600
     max_files_per_trigger: int = 4
+    # streaming source format seam: "parquet" (default — schema supplied
+    # from CLIPS_SCHEMA, maxFilesPerTrigger applies) or any registered
+    # streaming source, e.g. "iceberg" with the iceberg-spark runtime on
+    # the classpath — then ``source_dir`` is the table path/identifier and
+    # the table supplies its own schema. Exact cluster config in
+    # docs/ICEBERG.md; this sandbox has no iceberg jar, so the non-parquet
+    # branch is wiring-tested only (tests/test_streaming.py).
+    source_format: str = "parquet"
+    source_options: dict = field(default_factory=dict)
     # full-snapshot compaction cadence: every Nth committed batch folds the
     # delta chain into a new base (amortized O(state/N) write per batch);
     # between compactions a batch writes only its touched clusters
@@ -606,11 +615,23 @@ class StreamingERJob:
             log_path = os.path.join(self.cfg.work_dir, "progress.jsonl")
         self._listener = ProgressLogListener(log_path)
         self.spark.streams.addListener(self._listener)
-        stream = (
-            self.spark.readStream.schema(CLIPS_SCHEMA)
-            .option("maxFilesPerTrigger", self.cfg.max_files_per_trigger)
-            .parquet(self.cfg.source_dir)
-            .withWatermark("event_time", f"{self.cfg.watermark_delay_sec} seconds")
+        if self.cfg.source_format == "parquet":
+            reader = self.spark.readStream.schema(CLIPS_SCHEMA).option(
+                "maxFilesPerTrigger", self.cfg.max_files_per_trigger
+            )
+            for k, v in self.cfg.source_options.items():
+                reader = reader.option(k, v)
+            stream = reader.parquet(self.cfg.source_dir)
+        else:
+            # e.g. "iceberg": the table supplies its own schema; rate
+            # limiting uses the source's own options (for iceberg:
+            # streaming-max-files-per-micro-batch — see docs/ICEBERG.md)
+            reader = self.spark.readStream.format(self.cfg.source_format)
+            for k, v in self.cfg.source_options.items():
+                reader = reader.option(k, v)
+            stream = reader.load(self.cfg.source_dir)
+        stream = stream.withWatermark(
+            "event_time", f"{self.cfg.watermark_delay_sec} seconds"
         )
         writer = (
             stream.writeStream.foreachBatch(self.process_batch)

@@ -31,7 +31,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 N_CLUSTERS = int(os.environ.get("SCALING_N_CLUSTERS", "2000"))
 SEED = 42
-CORPUS = f"/tmp/spark_graft_scaling_{N_CLUSTERS}_{SEED}"
+# SCALING_CORPUS_DIR points at an existing clips corpus (e.g. the
+# tmpfs-resident 910k-clip XL corpus shared with the streaming campaign)
+# instead of the derived per-N_CLUSTERS path
+CORPUS = os.environ.get(
+    "SCALING_CORPUS_DIR", f"/tmp/spark_graft_scaling_{N_CLUSTERS}_{SEED}"
+)
 
 
 def ensure_corpus(in_subprocess: bool = False) -> None:

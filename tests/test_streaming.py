@@ -740,3 +740,30 @@ def test_state_fs_copytree_contract(spark, tmp_path):
         assert not fs.exists(dst)
         fs.copytree(src, dst)
         assert fs.read_text(fs.join(dst, "a.parquet")) == "AAA"
+
+
+def test_source_format_seam_routes_to_format(spark, tmp_path):
+    """The Iceberg/format seam (StreamingERConfig.source_format) must route
+    the stream reader to the named data source. This image carries no
+    iceberg jar, so the expected outcome HERE is a data-source-not-found
+    error naming 'iceberg' — proof the flag reaches readStream.format();
+    on a cluster with the runtime jar (docs/ICEBERG.md) the same flag
+    loads the table."""
+    from mapping_analysis_spark.streaming.engine import (
+        StreamingERConfig,
+        StreamingERJob,
+    )
+
+    cfg = StreamingERConfig(
+        source_dir=str(tmp_path / "no_such_table"),
+        work_dir=str(tmp_path / "w"),
+        source_format="iceberg",
+        source_options={"streaming-max-files-per-micro-batch": "4"},
+    )
+    job = StreamingERJob(spark, cfg)
+    try:
+        q = job.start(available_now=True)
+    except Exception as e:  # noqa: BLE001
+        assert "iceberg" in str(e).lower()
+        return
+    q.stop()  # environment actually provides iceberg — the seam worked
